@@ -1,0 +1,26 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on `--xla_force_host_platform_device_count=8` CPU devices, the
+standard JAX pattern for testing pjit/shard_map layouts.
+"""
+
+import os
+
+# Force CPU for unit tests (the ambient env pins JAX_PLATFORMS to the TPU
+# tunnel); override with DH3D_TEST_PLATFORM=tpu to run the suite on hardware.
+os.environ["JAX_PLATFORMS"] = os.environ.get("DH3D_TEST_PLATFORM", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
