@@ -1,0 +1,315 @@
+"""Network blocks/backbones, mirroring `core/backbones.py` in flax.
+
+Every module takes channel-last tensors; `train` toggles BN batch-stats
+mode.  The wiring of each block cites the reference lines it reproduces.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dh3d_tpu import ops
+from dh3d_tpu.nn.layers import (
+    BatchNorm,
+    Conv1x1,
+    ConvPointsetBN,
+    FlexConvBN,
+    SEResBottleneck,
+    l2_normalize,
+)
+
+
+class FlexConvDilate(nn.Module):
+    """flex_conv_dilate (`core/backbones.py:58-101`):
+    [FPS subsample by `dilate`] -> knn -> stacked FlexConv+BN -> SE ->
+    [3-NN inverse-distance upsample] -> [concat + 1x1].
+    """
+
+    dilate: int
+    knn: int
+    outdims: Sequence[int]
+    concat: bool = True
+    add_se: str = "max_pool"  # 'max_pool' | 'avg_pool' | ''
+    upsample: bool = True
+    use_running_average: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, xyz, feat, knn_indices=None):
+        num_point = xyz.shape[1]
+        npoint = num_point // self.dilate
+
+        if self.dilate > 1:
+            points_s, feat_s, _ = ops.subsample(xyz, feat, npoint)
+        else:
+            points_s, feat_s = xyz, feat
+
+        if knn_indices is None:
+            knn_indices, _ = ops.knn_bruteforce(points_s, self.knn)
+
+        x = feat_s
+        for i, d in enumerate(self.outdims):
+            x = FlexConvBN(
+                d, self.use_running_average, self.bn_axis_name,
+                name=f"flexconv_{i}",
+            )(x, points_s, knn_indices)
+
+        if self.add_se == "max_pool":
+            x_pool, _ = ops.flex_pool(x, knn_indices)
+            x = SEResBottleneck(
+                self.outdims[-1], self.use_running_average,
+                self.bn_axis_name, name="se",
+            )(x, x_pool)
+        elif self.add_se == "avg_pool":
+            # flex_avg neighborhood sum scaled by 1/knn
+            # (`core/backbones.py:81-83`)
+            x_pool = ops.flex_avg(x, knn_indices) * (1.0 / self.knn)
+            x = SEResBottleneck(
+                self.outdims[-1], self.use_running_average,
+                self.bn_axis_name, name="se",
+            )(x, x_pool)
+
+        new_feat = x
+        if self.upsample and self.dilate > 1:
+            dist, idx = ops.three_nn(xyz, points_s)
+            weight = ops.inverse_distance_weights(dist)
+            new_feat = ops.three_interpolate(new_feat, idx, weight)
+
+        if self.concat:
+            new_feat = jnp.concatenate([new_feat, feat], axis=-1)
+            new_feat = Conv1x1(
+                self.outdims[-1],
+                use_running_average=self.use_running_average,
+                bn_axis_name=self.bn_axis_name, name="concat_conv1d",
+            )(new_feat)
+        return xyz, new_feat
+
+
+class BackboneLocalDilate(nn.Module):
+    """backbone_local_dilate (`core/backbones.py:104-127`)."""
+
+    featdim: int = 128
+    dilate2: int = 8
+    use_running_average: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, points, knn_ind):
+        ura, axn = self.use_running_average, self.bn_axis_name
+        nn_8 = knn_ind[..., :8]
+
+        # initconv: conv_pointset on raw xyz + BN/relu, then flex max-pool
+        # (`core/backbones.py:108-110`)
+        init_f = ConvPointsetBN(32, ura, axn, name="initconv")(points, nn_8)
+        init_f, _ = ops.flex_pool(init_f, nn_8)
+
+        # stage 1: full resolution, knn8, dims [64, 64], SE max-pool
+        _, x1 = FlexConvDilate(
+            dilate=1, knn=8, outdims=(64, 64), concat=False,
+            add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
+            name="stage1",
+        )(points, init_f, knn_indices=nn_8)
+
+        # stage 2: dilate 8, dims [128, 128], concat + 1x1
+        x2 = Conv1x1(64, use_running_average=ura, bn_axis_name=axn,
+                     name="before_stage2_conv1d")(x1)
+        _, x2 = FlexConvDilate(
+            dilate=self.dilate2, knn=8, outdims=(128, 128), concat=True,
+            add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
+            name="stage2",
+        )(points, x2)
+
+        # combine with stage-1 shortcut (`core/backbones.py:123`)
+        feat = Conv1x1(128, use_running_average=ura, bn_axis_name=axn,
+                       name="local_stage1_shortcut")(x1) + x2
+
+        if self.featdim < 128:
+            feat = Conv1x1(self.featdim, use_running_average=ura,
+                           bn_axis_name=axn, name="final_fc")(feat)
+        return points, feat
+
+
+class DetectionBlock(nn.Module):
+    """detection_block (`core/backbones.py:132-151`): 1x1 conv stack ->
+    1-logit head (bias init 1/8) -> sigmoid (or softplus) keypoint score."""
+
+    conv_dims: Sequence[int] = (128, 256, 1024)
+    use_softplus: bool = False
+    use_running_average: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, features):
+        x = features
+        for i, d in enumerate(self.conv_dims):
+            x = Conv1x1(d, use_running_average=self.use_running_average,
+                        bn_axis_name=self.bn_axis_name,
+                        name=f"detec_conv{i}")(x)
+        logits = nn.Dense(
+            1, kernel_init=nn.initializers.he_normal(),
+            bias_init=nn.initializers.constant(1.0 / 8),
+            name="detec_conv_fc",
+        )(x)
+        return nn.softplus(logits) if self.use_softplus else nn.sigmoid(logits)
+
+
+class GlobalAttBlock(nn.Module):
+    """globalatt_block (`core/backbones.py:156-173`)."""
+
+    use_running_average: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, features):
+        featdim = features.shape[-1]
+        conv_dims = (256, 1024) if featdim > 256 else (1024,)
+        x = features
+        for i, d in enumerate(conv_dims):
+            x = Conv1x1(d, use_running_average=self.use_running_average,
+                        bn_axis_name=self.bn_axis_name,
+                        name=f"detec_conv{i}")(x)
+        logits = nn.Dense(1, kernel_init=nn.initializers.he_normal(),
+                          name="detec_conv_fc")(x)
+        return nn.sigmoid(logits)
+
+
+class GlobalBeforeAssemble(nn.Module):
+    """global_before_assemble (`core/backbones.py:178-186`): one dilated
+    flexconv stage (no SE) + upsample."""
+
+    gl_dilate: int = 8
+    knn_num: int = 8
+    gl_dims: Sequence[int] = (256,)
+    concat_xyz: bool = False
+    use_running_average: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, points, localdesc):
+        if self.concat_xyz:
+            localdesc = jnp.concatenate([points, localdesc], axis=-1)
+        return FlexConvDilate(
+            dilate=self.gl_dilate, knn=self.knn_num, outdims=self.gl_dims,
+            concat=False, add_se="", upsample=True,
+            use_running_average=self.use_running_average,
+            bn_axis_name=self.bn_axis_name, name="global_before_assemble",
+        )(points, localdesc)
+
+
+class GlobalBeforeAssembleConv1d(nn.Module):
+    """global_before_assemble_conv1d (`core/backbones.py:189-196`)."""
+
+    gl_dims: Sequence[int] = (256,)
+    concat_xyz: bool = False
+    use_running_average: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, points, localdesc):
+        if self.concat_xyz:
+            localdesc = jnp.concatenate([points, localdesc], axis=-1)
+        x = localdesc
+        for i, d in enumerate(self.gl_dims):
+            x = Conv1x1(d, use_running_average=self.use_running_average,
+                        bn_axis_name=self.bn_axis_name,
+                        name=f"global_before_assemble_conv1{i}")(x)
+        return points, x
+
+
+class ContextGating(nn.Module):
+    """context_gating (`core/backbones.py:282-320`)."""
+
+    add_batch_norm: bool = True
+    use_running_average: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        w = self.param(
+            "gating_weights",
+            nn.initializers.normal(stddev=1.0 / math.sqrt(dim)),
+            (dim, dim),
+        )
+        gates = x @ w
+        if self.add_batch_norm:
+            gates = BatchNorm(self.use_running_average,
+                              axis_name=self.bn_axis_name,
+                              name="gating_bn")(gates)
+        else:
+            gates = gates + self.param(
+                "gating_biases",
+                nn.initializers.normal(stddev=1.0 / math.sqrt(dim)), (dim,)
+            )
+        return x * nn.sigmoid(gates)
+
+
+class NetVLAD(nn.Module):
+    """global_netvald_block (`core/backbones.py:202-279`): PCAN-style
+    attention-reweighted NetVLAD aggregation + FC + BN + context gating."""
+
+    cluster_size: int = 64
+    output_dim: int = 256
+    add_batch_norm: bool = True
+    gating: bool = True
+    use_running_average: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, features, att):
+        B, N, D = features.shape
+        K = self.cluster_size
+        x = l2_normalize(features, axis=-1)  # per-point l2 (`:209`)
+
+        cluster_w = self.param(
+            "cluster_weights",
+            nn.initializers.normal(stddev=1.0 / math.sqrt(D)), (D, K),
+        )
+        act = jnp.einsum("bnd,dk->bnk", x, cluster_w,
+                         precision="highest",
+                         preferred_element_type=jnp.float32)
+        if self.add_batch_norm:
+            act = BatchNorm(self.use_running_average,
+                            axis_name=self.bn_axis_name,
+                            name="cluster_bn")(act)
+        else:
+            act = act + self.param(
+                "cluster_biases",
+                nn.initializers.normal(stddev=1.0 / math.sqrt(D)), (K,)
+            )
+        act = nn.softmax(act, axis=-1)
+        act = act * att  # attention reweighting (`:232-236`), att [B,N,1]
+
+        a_sum = jnp.sum(act, axis=1, keepdims=True)  # [B,1,K]
+        cluster_w2 = self.param(
+            "cluster_weights2",
+            nn.initializers.normal(stddev=1.0 / math.sqrt(D)), (1, D, K),
+        )
+        a = a_sum * cluster_w2  # [B,D,K]
+
+        vlad = jnp.einsum("bnk,bnd->bdk", act, x,
+                          precision="highest",
+                          preferred_element_type=jnp.float32)  # [B,D,K]
+        vlad = vlad - a
+        vlad = l2_normalize(vlad, axis=1)  # intra-normalize over D (`:258`)
+        vlad = vlad.reshape(B, D * K)
+        vlad = l2_normalize(vlad, axis=-1)
+
+        hidden1 = self.param(
+            "hidden1_weights",
+            nn.initializers.normal(stddev=1.0 / math.sqrt(K)),
+            (D * K, self.output_dim),
+        )
+        vlad = vlad @ hidden1
+        vlad = BatchNorm(self.use_running_average,
+                         axis_name=self.bn_axis_name, name="hidden_bn")(vlad)
+        if self.gating:
+            vlad = ContextGating(
+                self.add_batch_norm, self.use_running_average,
+                self.bn_axis_name, name="gating",
+            )(vlad)
+        return vlad

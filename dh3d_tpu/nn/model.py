@@ -1,0 +1,165 @@
+"""The DH3D model: one jit-compiled forward pass -> dense local descriptors,
+keypoint detection scores, and an attention-aggregated NetVLAD global
+descriptor.
+
+Mirrors `core/model.py:33-255` (class DH3D).  The Siamese tuple is
+flattened along the batch axis before entry (`core/model.py:139-146`), so the
+model itself sees one [B_total, N, 3] cloud tensor — exactly the
+data-parallel-friendly layout for a TPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dh3d_tpu import ops
+from dh3d_tpu.config import dotdict
+from dh3d_tpu.nn import backbones
+from dh3d_tpu.nn.layers import l2_normalize
+
+
+class DH3D(nn.Module):
+    """Forward graph of `DH3D.build_graph` (`core/model.py:135-206`).
+
+    Call returns the `outs` dict contract of the reference:
+      xyz, feat, local_desc, attention?, xyz_sampled?, feat_sampled?,
+      att_sampled?, global_desc?
+    """
+
+    config: dotdict
+
+    @nn.compact
+    def __call__(self, points, knn_inds=None, sample_inds=None, train=False):
+        """
+        Args:
+          points: [B_total, N, 3] tuple-flattened clouds ('pointclouds').
+          knn_inds: optional precomputed [B_total, N, knn_num] indices —
+            parity with the reference's host-knn input path
+            (`core/model.py:148-156`); unnecessary here (no 8192 cap) but
+            kept for API compatibility.
+          sample_inds: optional [B_total, sampled_kpnum] int32 keypoint ids
+            ('sample_ind_anchor/pos' concatenated, `core/model.py:159-163`).
+          train: BN batch-stats mode.
+        """
+        # flax freezes dataclass-field dicts into FrozenDict; restore the
+        # silent-None dotdict access the model relies on
+        # (`core/configs.py:22-26`).
+        cfg = dotdict(dict(self.config))
+        ura = not train
+        axn = cfg.sync_batchnorm and "data" or None
+        compute_dtype = jnp.dtype(cfg.compute_dtype or "float32")
+
+        if knn_inds is None:
+            knn_inds, _ = ops.knn_bruteforce(points, cfg.knn_num)
+
+        outs = {"xyz": points, "knn_indices": knn_inds}
+
+        # ---- local backbone (`core/model.py:99-108,176`)
+        xin = points.astype(compute_dtype)
+        newpoints, localdesc = backbones.BackboneLocalDilate(
+            featdim=cfg.featdim,
+            dilate2=cfg.dilate or 8,
+            use_running_average=ura or bool(cfg.freezebackbone),
+            bn_axis_name=axn,
+            name="local_backbone",
+        )(xin, knn_inds)
+        localdesc = localdesc.astype(jnp.float32)
+        localdesc_l2 = l2_normalize(localdesc, axis=-1, epsilon=1e-8)
+        outs["feat"] = localdesc
+        outs["local_desc"] = localdesc_l2
+        outs["xyz_feat"] = jnp.concatenate([newpoints, localdesc_l2], axis=-1)
+
+        # ---- detector head (`core/model.py:184-188`)
+        if cfg.detection:
+            det_att = backbones.DetectionBlock(
+                use_running_average=ura or bool(cfg.freezedetection),
+                bn_axis_name=axn,
+                name="detection_block",
+            )(localdesc)
+            outs["attention"] = det_att
+            outs["xyz_feat_att"] = jnp.concatenate(
+                [newpoints, localdesc_l2, det_att], axis=-1
+            )
+
+        # ---- keypoint subsample (`core/model.py:190-200`)
+        if cfg.sampled_kpnum and cfg.sampled_kpnum > 0:
+            if sample_inds is None:
+                raise ValueError(
+                    "sampled_kpnum > 0 requires sample_inds "
+                    "(concat of sample_ind_anchor & sample_ind_pos)"
+                )
+            xyz_s, feat_s, kp_idx = ops.subsample(
+                points, localdesc_l2, cfg.sampled_kpnum, kp_idx=sample_inds
+            )
+            outs["sample_nodes_concat"] = sample_inds
+            outs["xyz_sampled"] = xyz_s
+            outs["feat_sampled"] = feat_s
+            if cfg.detection:
+                outs["att_sampled"] = ops.gather_point(det_att, kp_idx)[..., 0]
+
+        # ---- global head (`core/model.py:112-133,202-206`)
+        if cfg.extract_global:
+            ura_g = ura or bool(cfg.freezeglobal)
+            if (cfg.global_backbone or "global_before_assemble") == \
+                    "global_before_assemble":
+                gpoints, forglobal = backbones.GlobalBeforeAssemble(
+                    gl_dilate=cfg.gl_dilate or 8,
+                    knn_num=cfg.knn_num,
+                    gl_dims=tuple(cfg.gl_dims or (256,)),
+                    concat_xyz=bool(cfg.concat_xyz),
+                    use_running_average=ura_g,
+                    bn_axis_name=axn,
+                    name="global_backbone",
+                )(newpoints, localdesc.astype(compute_dtype))
+            else:
+                gpoints, forglobal = backbones.GlobalBeforeAssembleConv1d(
+                    gl_dims=tuple(cfg.gl_dims or (256,)),
+                    concat_xyz=bool(cfg.concat_xyz),
+                    use_running_average=ura_g,
+                    bn_axis_name=axn,
+                    name="global_backbone",
+                )(newpoints, localdesc.astype(compute_dtype))
+            forglobal = forglobal.astype(jnp.float32)
+
+            if cfg.global_subsample and cfg.global_subsample > 0:
+                gpoints, forglobal, _ = ops.subsample(
+                    gpoints, forglobal, cfg.global_subsample
+                )
+
+            global_att = backbones.GlobalAttBlock(
+                use_running_average=ura_g, bn_axis_name=axn, name="globalatt"
+            )(forglobal)
+
+            globaldesc = backbones.NetVLAD(
+                cluster_size=64,
+                output_dim=256,
+                add_batch_norm=bool(cfg.add_batch_norm),
+                gating=True,
+                use_running_average=ura_g,
+                bn_axis_name=axn,
+                name="global_assemble",
+            )(forglobal, global_att)
+            outs["global_desc"] = l2_normalize(
+                globaldesc, axis=-1, epsilon=1e-8
+            )
+
+        return outs
+
+
+def concat_tuple_clouds(cfg, anchor, pos=None, neg=None, otherneg=None):
+    """Flatten the Siamese tuple along the batch axis
+    (`core/model.py:139-146`): [anchor | pos | neg | otherneg] each
+    reshaped to [-1, num_points, 3].
+    """
+    n = cfg.num_points
+    parts = [anchor]
+    if pos is not None and cfg.num_pos > 0:
+        parts.append(pos.reshape(-1, n, 3))
+    if neg is not None and cfg.num_neg > 0:
+        parts.append(neg.reshape(-1, n, 3))
+    if otherneg is not None and cfg.other_neg:
+        parts.append(otherneg)
+    return jnp.concatenate(parts, axis=0)

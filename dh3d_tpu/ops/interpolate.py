@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 
-def three_nn(xyz1, xyz2):
+def three_nn(xyz1, xyz2, impl="auto"):
     """3 nearest points of xyz2 for every point of xyz1.
 
     xyz1: [B, N, 3] queries (full-resolution points);
@@ -23,6 +23,13 @@ def three_nn(xyz1, xyz2):
     Returns (dist [B, N, 3] SQUARED distances, idx [B, N, 3] int32),
     ascending — matching `tf_interpolate.cpp:72` (d = squared L2, no sqrt).
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and xyz1.shape[-1] == 3:
+        from dh3d_tpu.ops.pallas.knn_pallas import knn_pallas
+
+        idx, d2 = knn_pallas(xyz1, xyz2, 3)
+        return d2, idx
     qn = jnp.einsum("bnd,bmd->bnm", xyz1, xyz2,
                     precision="highest", preferred_element_type=jnp.float32)
     q2 = jnp.sum(xyz1 * xyz1, axis=-1)[:, :, None]

@@ -48,22 +48,39 @@ def _chunk_topk(positions, q_pos, k, self_start=None):
     return idx.astype(jnp.int32), jnp.maximum(-neg_d2, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def knn_bruteforce(positions, k, chunk=None):
+def _use_pallas(impl):
+    if impl == "auto":
+        return jax.default_backend() == "tpu"
+    return impl == "pallas"
+
+
+def knn_bruteforce(positions, k, chunk=None, impl="auto"):
     """K nearest neighbors of every point within its own cloud.
 
     Args:
       positions: [B, N, Dp] float array of point coordinates (channel-last;
         the reference op takes [B, Dp, N], `user_ops/ops/knn_bruteforce.cc`).
       k: neighborhood size (k=0 is the query point itself).
-      chunk: query-chunk size; bounds peak memory at B*chunk*N*4 bytes.
-        Defaults to a size keeping the per-step distance block under ~64 MB.
+      chunk: query-chunk size for the XLA path; bounds peak memory at
+        B*chunk*N*4 bytes.
+      impl: 'auto' (Pallas streaming-min kernel on TPU, chunked XLA
+        matmul+top_k elsewhere), 'pallas', or 'xla'.
 
     Returns:
       (indices [B, N, k] int32, distances [B, N, k] float) — ascending by
       distance; distances are Euclidean (sqrt), matching
       `knn_bruteforce_kernel.cc:52`.
     """
+    if _use_pallas(impl) and positions.shape[-1] == 3:
+        from dh3d_tpu.ops.pallas.knn_pallas import knn_pallas
+
+        idx, d2 = knn_pallas(positions, positions, k)
+        return idx, jnp.sqrt(d2)
+    return _knn_xla(positions, k, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _knn_xla(positions, k, chunk=None):
     B, N, _ = positions.shape
     if chunk is None:
         target = (64 * 1024 * 1024) // 4
@@ -91,12 +108,17 @@ def knn_bruteforce(positions, k, chunk=None):
     return idx, jnp.sqrt(d2)
 
 
-def knn_bruteforce_pairwise(query, reference, k):
+def knn_bruteforce_pairwise(query, reference, k, impl="auto"):
     """K nearest points of `reference` for each point of `query` (cross-cloud).
 
     query: [B, M, D], reference: [B, N, D] -> (idx [B, M, k], dist [B, M, k]).
     Generalization used by eval-time matching; the reference computes this on
     the host with sklearn (`core/utils.py:53-57`).
     """
+    if _use_pallas(impl) and query.shape[-1] == 3:
+        from dh3d_tpu.ops.pallas.knn_pallas import knn_pallas
+
+        idx, d2 = knn_pallas(query, reference, k)
+        return idx, jnp.sqrt(d2)
     idx, d2 = _chunk_topk(reference, query, k)
     return idx, jnp.sqrt(d2)

@@ -1,0 +1,123 @@
+"""Pallas TPU kernel: exact k-nearest-neighbors by streaming min-extraction.
+
+Why: XLA's `top_k` over wide rows lowers to a full sort on TPU — measured
+880 ms for the [20, 8192] k=8 case, 81% of the whole DH3D forward.  For
+small k (the model uses k in {8, 16}; interpolation uses 3) an exact
+iterative min-extraction on the VPU is orders of magnitude cheaper: k
+passes of (row-min, row-argmin, mask) over a VMEM-resident distance tile.
+
+Design (one grid step = one query tile of one cloud):
+  grid = (B, M // TQ)
+  - keys [N, 3] of the cloud stay in VMEM (N<=16384 -> 192 KB)
+  - query tile [TQ, 3]
+  - d2 tile [TQ, N] computed on the VPU via 3 broadcast FMA passes
+    (exact: (qx-kx)^2 + ... — no matmul-identity cancellation, so the
+    self-distance is exactly 0 and lands in slot 0 like the reference,
+    `user_ops/kernels/knn_bruteforce_kernel.cc:65-68`)
+  - k unrolled iterations: row-argmin over lanes, gather value, mask +inf
+Replaces the reference's CUDA block-radix-sort kernel
+(`user_ops/kernels/knn_bruteforce_kernel_gpu.cu.cc:46-134`) and removes its
+N<=8192 limit (`:213-221`).  Ties resolve to the lowest index (argmin
+first occurrence), matching the reference's stable index-order sort.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _knn_kernel(q_ref, keys_ref, idx_ref, dist_ref, *, k):
+    q = q_ref[0]  # [TQ, 3]
+    keys = keys_ref[0]  # [N, 3]
+    tq = q.shape[0]
+    n = keys.shape[0]
+
+    d2 = jnp.zeros((tq, n), jnp.float32)
+    for d in range(3):
+        diff = q[:, d][:, None] - keys[:, d][None, :]
+        d2 = d2 + diff * diff
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
+
+    idxs, dists = [], []
+    for _ in range(k):
+        m = jnp.min(d2, axis=1)  # [TQ]
+        amin = jnp.argmin(d2, axis=1).astype(jnp.int32)  # [TQ]
+        idxs.append(amin)
+        dists.append(m)
+        d2 = jnp.where(cols == amin[:, None], jnp.inf, d2)
+
+    idx_ref[0] = jnp.stack(idxs, axis=1)
+    dist_ref[0] = jnp.stack(dists, axis=1)
+
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+
+
+def knn_pallas(query, keys, k, tile_q=256, interpret=False):
+    """Exact kNN of `keys` for each `query` point (cross- or self-cloud).
+
+    query: [B, M, 3] float32; keys: [B, N, 3] float32.
+    Returns (idx [B, M, k] int32, d2 [B, M, k] float32 SQUARED distances,
+    ascending).  Handles arbitrary M/N by padding: keys are padded with a
+    far-away sentinel (never selected while k <= true N), queries padded and
+    the extra rows sliced off.  The query-tile height adapts so the [TQ, N]
+    distance tile stays within the VMEM budget.
+    """
+    B, M, _ = query.shape
+    N = keys.shape[1]
+
+    n_pad = (-N) % 128
+    if n_pad:
+        keys = jnp.pad(keys, ((0, 0), (0, n_pad), (0, 0)),
+                       constant_values=1e30)
+        N = N + n_pad
+
+    while tile_q > 8 and tile_q * N * 4 > _VMEM_BUDGET:
+        tile_q //= 2
+    tile_q = min(tile_q, max(8, M))
+    m_pad = (-M) % tile_q
+    if m_pad:
+        query = jnp.pad(query, ((0, 0), (0, m_pad), (0, 0)))
+    Mp = M + m_pad
+
+    idx, d2 = _knn_pallas_call(query, keys, k, tile_q, interpret)
+    if m_pad:
+        idx, d2 = idx[:, :M], d2[:, :M]
+    return idx, d2
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_q", "interpret"))
+def _knn_pallas_call(query, keys, k, tile_q, interpret):
+    B, M, _ = query.shape
+    N = keys.shape[1]
+    grid = (B, M // tile_q)
+
+    kernel = functools.partial(_knn_kernel, k=k)
+    idx, d2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_q, 3), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 3), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, M, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(query, keys)
+    return idx, d2

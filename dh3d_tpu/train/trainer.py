@@ -1,0 +1,233 @@
+"""Training: jitted train step, 3-stage curriculum freezing, optimizer,
+checkpointing.
+
+Reference training loop: tensorpack `SimpleTrainer` with Adam + staircase
+exponential LR decay (`core/model.py:248-255`), weight decay as an L2 cost
+over Conv2D kernels only ('.*/W', `core/model.py:239-241`), curriculum
+freezing via variable-collection exclusion (`core/tf_utils.py:144-153`,
+configs `freezebackbone/freezedetection/freezeglobal`), warm start with
+shape-mismatch tolerance (`train.py:52-53` SmartInit), periodic ModelSaver
+(`train.py:35-38`).
+
+TPU-native realization: one `jax.jit`-compiled step over a data-parallel
+mesh (batch sharded, params replicated — XLA emits the grad all-reduce);
+freezing via `optax.multi_transform` masks + running-average BN for frozen
+trunks (the model handles the latter); orbax for checkpoints.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from dh3d_tpu.config import dotdict
+from dh3d_tpu.losses import compute_total_loss
+from dh3d_tpu.nn import DH3D
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt,
+        )
+
+
+def lr_schedule(cfg):
+    """Staircase exponential decay (`core/model.py:249-253`)."""
+    return optax.exponential_decay(
+        init_value=cfg.start_lr,
+        transition_steps=cfg.decay_step,
+        decay_rate=cfg.decay_rate,
+        staircase=True,
+    )
+
+
+# frozen-subtree names per config flag; module names as in nn/model.py
+_FREEZE_GROUPS = {
+    "freezebackbone": ("local_backbone",),
+    "freezedetection": ("detection_block",),
+    "freezeglobal": ("global_backbone", "globalatt", "global_assemble"),
+}
+
+
+def param_labels(cfg, params):
+    """'frozen' / 'trainable' label tree for optax.multi_transform —
+    the `backbone_scope(freeze)` equivalent (`core/tf_utils.py:144-153`)."""
+    frozen_tops = set()
+    for flag, groups in _FREEZE_GROUPS.items():
+        if cfg.get(flag):
+            frozen_tops.update(groups)
+
+    def label_tree(tree, top):
+        if isinstance(tree, dict):
+            return {k: label_tree(v, top if top else k) for k, v in tree.items()}
+        return "frozen" if top in frozen_tops else "trainable"
+
+    return label_tree(flax.core.unfreeze(params), None)
+
+
+def make_optimizer(cfg, params):
+    tx = optax.adam(lr_schedule(cfg))
+    labels = param_labels(cfg, params)
+    if any(
+        leaf == "frozen" for leaf in jax.tree_util.tree_leaves(labels)
+    ):
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, labels
+        )
+    return tx
+
+
+def kernel_l2(params):
+    """Sum of squares over Dense kernels only — the reference regularizes
+    '.*/W' (tensorpack Conv2D weights), which map to our `kernel` leaves;
+    flexconv thetas / NetVLAD matrices / BN are excluded
+    (`core/model.py:239-241`)."""
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        if path and getattr(path[-1], "key", None) == "kernel":
+            total = total + jnp.sum(jnp.square(leaf))
+    return total
+
+
+def init_state(cfg, rng, sample_batch) -> TrainState:
+    """Initialize model + optimizer from one example batch (jitted init)."""
+    model = DH3D(cfg)
+
+    @jax.jit
+    def _init(rng):
+        return model.init(
+            rng,
+            sample_batch["points"],
+            sample_inds=sample_batch.get("sample_inds"),
+            train=False,
+        )
+
+    variables = _init(rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", flax.core.freeze({}))
+    tx = make_optimizer(cfg, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def loss_and_updates(params, batch_stats, batch, cfg, model):
+    variables = {"params": params, "batch_stats": batch_stats}
+    outs, mutated = model.apply(
+        variables,
+        batch["points"],
+        sample_inds=batch.get("sample_inds"),
+        train=True,
+        mutable=["batch_stats"],
+    )
+    if "R" in batch:
+        outs["R"] = batch["R"]
+    total, metrics = compute_total_loss(outs, cfg, kernel_l2(params))
+    return total, (metrics, mutated["batch_stats"])
+
+
+def make_train_step(cfg, model=None):
+    """Build the jitted train step.  Call with (state, batch)."""
+    model = model or DH3D(cfg)
+    cfg = dotdict(dict(cfg))
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        grad_fn = jax.value_and_grad(loss_and_updates, has_aux=True)
+        (loss, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, cfg, model
+        )
+        new_state = state.apply_gradients(grads, new_bs)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg, model=None):
+    model = model or DH3D(cfg)
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        return model.apply(
+            variables,
+            batch["points"],
+            sample_inds=batch.get("sample_inds"),
+            train=False,
+        )
+
+    return eval_step
+
+
+def smart_init(init_params, loaded_params):
+    """SmartInit(ignore_mismatch=True) equivalent (`train.py:52-53`): merge
+    loaded params into freshly initialized ones wherever path AND shape
+    match; new variables keep their fresh init — this is how the 3-stage
+    curriculum hands off (local -> +detector -> global)."""
+    init_params = flax.core.unfreeze(init_params)
+    loaded_params = flax.core.unfreeze(loaded_params)
+    n_loaded = [0]
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if k not in dst:
+                continue
+            if isinstance(v, dict) and isinstance(dst[k], dict):
+                merge(dst[k], v)
+            elif hasattr(v, "shape") and hasattr(dst[k], "shape"):
+                if v.shape == dst[k].shape:
+                    dst[k] = v
+                    n_loaded[0] += 1
+
+    merge(init_params, loaded_params)
+    return flax.core.freeze(init_params), n_loaded[0]
+
+
+# ------------------------- checkpointing (orbax) -------------------------
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    step = int(state.step) if step is None else step
+    path = f"{ckpt_dir}/step_{step:08d}"
+    ckptr.save(
+        path,
+        {
+            "params": jax.device_get(flax.core.unfreeze(state.params)),
+            "batch_stats": jax.device_get(
+                flax.core.unfreeze(state.batch_stats)
+            ),
+            "step": jax.device_get(state.step),
+        },
+    )
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)

@@ -20,6 +20,20 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+import jax  # noqa: E402
+
+# The axon sitecustomize imports jax at interpreter startup (before this
+# file runs), so the env vars above may be read too late — force the
+# platform and device count through the live config as well.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+if os.environ["JAX_PLATFORMS"] == "cpu":
+    jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache: the suite re-compiles many small graphs;
+# cache across runs (single-core CPU machine, compiles dominate runtime).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 @pytest.fixture
 def rng():

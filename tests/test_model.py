@@ -1,0 +1,125 @@
+"""Model-level tests: init + forward for every config preset, shape
+contract of the `outs` dict, determinism, and BN mutation.
+
+The reference had no model-level tests (SURVEY.md §4); these are the added
+layer.  Tiny sizes (N=64) keep the CPU suite fast; dilate structure still
+exercises subsample/knn/upsample because 64/8 = 8 points remain.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dh3d_tpu import config as cfglib
+from dh3d_tpu.nn import DH3D
+
+N = 64
+KP = 16
+
+
+def tiny(cfg):
+    cfg.num_points = N
+    cfg.sampled_kpnum = KP if cfg.sampled_kpnum and cfg.sampled_kpnum > 0 else cfg.sampled_kpnum
+    return cfg
+
+
+def init_and_run(cfg, btotal, train=False, with_kp=None):
+    model = DH3D(cfg)
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.randn(btotal, N, 3).astype(np.float32) * 10)
+    kwargs = {}
+    if with_kp:
+        kwargs["sample_inds"] = jnp.asarray(
+            rng.randint(0, N, (btotal, KP)).astype(np.int32)
+        )
+    variables = model.init(jax.random.PRNGKey(0), pts, train=False, **kwargs)
+    if train:
+        outs, mutated = model.apply(
+            variables, pts, train=True, mutable=["batch_stats"], **kwargs
+        )
+        return outs, variables, mutated
+    outs = model.apply(variables, pts, train=False, **kwargs)
+    return outs, variables, None
+
+
+def test_basic_config_forward():
+    cfg = tiny(cfglib.get_config("basic_config"))
+    outs, variables, _ = init_and_run(cfg, btotal=4, with_kp=True)
+    assert outs["feat"].shape == (4, N, 128)
+    assert outs["local_desc"].shape == (4, N, 128)
+    # l2-normalized descriptors
+    norms = np.linalg.norm(np.asarray(outs["local_desc"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    assert outs["xyz_sampled"].shape == (4, KP, 3)
+    assert outs["feat_sampled"].shape == (4, KP, 128)
+    assert "global_desc" not in outs
+    assert "attention" not in outs
+
+
+def test_detection_config_forward():
+    cfg = tiny(cfglib.get_config("detection_config"))
+    outs, _, _ = init_and_run(cfg, btotal=2, with_kp=True)
+    att = np.asarray(outs["attention"])
+    assert att.shape == (2, N, 1)
+    assert (att >= 0).all() and (att <= 1).all()  # sigmoid (may saturate in f32)
+    assert outs["att_sampled"].shape == (2, KP)
+    assert outs["xyz_feat_att"].shape == (2, N, 3 + 128 + 1)
+
+
+def test_global_config_forward():
+    cfg = tiny(cfglib.get_config("global_config"))
+    outs, _, _ = init_and_run(cfg, btotal=2)
+    gd = np.asarray(outs["global_desc"])
+    assert gd.shape == (2, 256)
+    np.testing.assert_allclose(np.linalg.norm(gd, axis=-1), 1.0, atol=1e-4)
+
+
+def test_forward_deterministic():
+    cfg = tiny(cfglib.get_config("basic_config"))
+    cfg.sampled_kpnum = -1
+    outs1, variables, _ = init_and_run(cfg, btotal=2)
+    model = DH3D(cfg)
+    pts = jnp.asarray(np.random.RandomState(0).randn(2, N, 3).astype(np.float32) * 10)
+    outs2 = model.apply(variables, pts, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(outs1["local_desc"]), np.asarray(outs2["local_desc"])
+    )
+
+
+def test_train_mode_updates_batch_stats():
+    cfg = tiny(cfglib.get_config("basic_config"))
+    cfg.sampled_kpnum = -1
+    outs, variables, mutated = init_and_run(cfg, btotal=2, train=True)
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(old, new)
+    )
+
+
+def test_precomputed_knn_input_path():
+    """Host-knn input parity (`core/model.py:148-156`)."""
+    from dh3d_tpu import ops
+
+    cfg = tiny(cfglib.get_config("basic_config"))
+    cfg.sampled_kpnum = -1
+    model = DH3D(cfg)
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.randn(2, N, 3).astype(np.float32) * 10)
+    knn, _ = ops.knn_bruteforce(pts, cfg.knn_num)
+    variables = model.init(jax.random.PRNGKey(0), pts, train=False)
+    o1 = model.apply(variables, pts, train=False)
+    o2 = model.apply(variables, pts, knn_inds=knn, train=False)
+    np.testing.assert_allclose(
+        np.asarray(o1["local_desc"]), np.asarray(o2["local_desc"]),
+        atol=1e-6,
+    )
+
+
+def test_missing_sample_inds_raises():
+    cfg = tiny(cfglib.get_config("basic_config"))
+    model = DH3D(cfg)
+    pts = jnp.zeros((2, N, 3))
+    with pytest.raises(ValueError, match="sample_inds"):
+        model.init(jax.random.PRNGKey(0), pts, train=False)

@@ -1,0 +1,149 @@
+"""Training-layer tests: overfit smoke (loss decreases), curriculum freeze
+masks, SmartInit-style warm start, LR schedule, and the data-parallel mesh
+path on the virtual 8-device CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dh3d_tpu import config as cfglib
+from dh3d_tpu import train as trainlib
+from dh3d_tpu.parallel import data_parallel_mesh
+from dh3d_tpu.parallel.mesh import replicate, shard_batch
+
+N = 64
+KP = 8
+
+
+def make_local_batch(rng, B=2, jitter=0.01):
+    """Synthetic self-pair batch mirroring `core/datasets.py:126-151`:
+    anchor cloud + jittered rotated copy, correspondence = same index."""
+    pc1 = rng.randn(B, N, 3).astype(np.float32) * 5
+    ang = rng.uniform(-np.pi, np.pi, B)
+    R = np.stack([
+        np.array([[np.cos(a), np.sin(a), 0],
+                  [-np.sin(a), np.cos(a), 0],
+                  [0, 0, 1]], np.float32)
+        for a in ang
+    ])
+    pc2 = np.einsum("bnd,bde->bne", pc1 + rng.randn(B, N, 3) * jitter, R)
+    anc = np.stack([rng.choice(N, KP, replace=False) for _ in range(B)])
+    batch = {
+        "points": jnp.asarray(np.concatenate([pc1, pc2.astype(np.float32)])),
+        "sample_inds": jnp.asarray(
+            np.concatenate([anc, anc]).astype(np.int32)
+        ),
+        "R": jnp.asarray(R.astype(np.float32)),
+    }
+    return batch
+
+
+def small_cfg(name="basic_config"):
+    cfg = cfglib.get_config(name)
+    cfg.num_points = N
+    cfg.sampled_kpnum = KP
+    cfg.batch_size = 2
+    cfg.decay_step = 100
+    return cfg
+
+
+def test_train_step_reduces_local_loss(rng):
+    cfg = small_cfg()
+    cfg.start_lr = 1e-3
+    batch = make_local_batch(rng)
+    state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step = trainlib.make_train_step(cfg)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total_cost"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_freeze_labels():
+    cfg = small_cfg("global_config")
+    params = {
+        "local_backbone": {"a": np.zeros(2)},
+        "detection_block": {"b": np.zeros(2)},
+        "global_backbone": {"c": np.zeros(2)},
+        "globalatt": {"d": np.zeros(2)},
+        "global_assemble": {"e": np.zeros(2)},
+    }
+    labels = trainlib.param_labels(cfg, params)
+    assert labels["local_backbone"]["a"] == "frozen"
+    assert labels["detection_block"]["b"] == "frozen"
+    assert labels["global_backbone"]["c"] == "trainable"
+    assert labels["global_assemble"]["e"] == "trainable"
+
+
+def test_frozen_params_unchanged_by_step(rng):
+    cfg = small_cfg()
+    cfg.freezebackbone = True
+    batch = make_local_batch(rng)
+    state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    before = jax.device_get(state.params["local_backbone"])
+    step = trainlib.make_train_step(cfg)
+    state, _ = step(state, batch)
+    after = jax.device_get(state.params["local_backbone"])
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_smart_init_partial_restore():
+    init = {"a": {"w": np.zeros((2, 2))}, "b": {"w": np.zeros(3)}}
+    loaded = {
+        "a": {"w": np.ones((2, 2))},
+        "b": {"w": np.ones(4)},       # shape mismatch -> keep fresh
+        "c": {"w": np.ones(5)},       # extra -> ignored
+    }
+    merged, n = trainlib.smart_init(init, loaded)
+    assert n == 1
+    np.testing.assert_array_equal(np.asarray(merged["a"]["w"]), np.ones((2, 2)))
+    np.testing.assert_array_equal(np.asarray(merged["b"]["w"]), np.zeros(3))
+
+
+def test_lr_schedule_staircase():
+    cfg = small_cfg()
+    cfg.start_lr = 1.0
+    cfg.decay_step = 10
+    cfg.decay_rate = 0.5
+    sched = trainlib.lr_schedule(cfg)
+    assert float(sched(0)) == 1.0
+    assert float(sched(9)) == 1.0  # staircase: no decay inside the step
+    assert float(sched(10)) == 0.5
+    assert float(sched(25)) == 0.25
+
+
+def test_kernel_l2_only_dense_kernels():
+    params = {
+        "x": {"dense": {"kernel": np.ones((2, 2)), "bias": np.ones(2)}},
+        "y": {"position_theta": np.ones((3, 2, 2)), "kernel": np.full((1,), 2.0)},
+        "bn": {"scale": np.ones(4)},
+    }
+    l2 = float(trainlib.kernel_l2(params))
+    assert l2 == 4.0 + 4.0  # both 'kernel' leaves, nothing else
+
+
+def test_data_parallel_train_step(rng):
+    """One DP step on the 8-device CPU mesh: batch sharded on 'data',
+    params replicated; result must match the single-device step."""
+    cfg = small_cfg()
+    cfg.sampled_kpnum = KP
+    batch = make_local_batch(rng, B=4)  # 8 clouds total -> 1 per device
+    state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step = trainlib.make_train_step(cfg)
+
+    # single-device reference
+    s1, m1 = step(state, batch)
+
+    mesh = data_parallel_mesh(8)
+    with jax.sharding.set_mesh(mesh):
+        sharded_batch = shard_batch(mesh, batch)
+        rep_state = replicate(mesh, state)
+        s2, m2 = step(rep_state, sharded_batch)
+        np.testing.assert_allclose(
+            float(m1["total_cost"]), float(m2["total_cost"]), rtol=1e-4
+        )

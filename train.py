@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Training driver: `python train.py --cfg=basic_config` — the reference
+CLI surface (`train.py:58-75`) on top of the TPU-native stack.
+
+Differences from the reference trainer (tensorpack SimpleTrainer):
+one jitted train step over a data-parallel mesh, orbax checkpoints every
+`savemodel_every_k_steps` (`core/configs.py:84`), config.json dumped into
+the logdir as the eval-time source of truth (`core/utils.py:71-84`),
+warm start with shape-mismatch tolerance via --load (`train.py:52-53`).
+
+`--synthetic` runs on generated self-pair data for smoke testing without a
+dataset on disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def synthetic_local_batches(cfg, seed=0):
+    """Endless synthetic self-pair batches (rotated jittered copies)."""
+    rng = np.random.RandomState(seed)
+    B, N, M = cfg.batch_size, cfg.num_points, cfg.sampled_kpnum
+    while True:
+        pc1 = rng.randn(B, N, 3).astype(np.float32) * 20
+        ang = rng.uniform(-np.pi, np.pi, B)
+        R = np.stack([
+            np.array([[np.cos(a), np.sin(a), 0],
+                      [-np.sin(a), np.cos(a), 0], [0, 0, 1]], np.float32)
+            for a in ang
+        ])
+        pc2 = np.einsum(
+            "bnd,bde->bne", pc1 + rng.randn(B, N, 3) * 0.02, R
+        ).astype(np.float32)
+        anc = np.stack([rng.choice(N, M, replace=False) for _ in range(B)])
+        yield {
+            "points": np.concatenate([pc1, pc2]),
+            "sample_inds": np.concatenate([anc, anc]).astype(np.int32),
+            "R": R.astype(np.float32),
+        }
+
+
+def synthetic_global_batches(cfg, seed=0):
+    rng = np.random.RandomState(seed)
+    B, N = cfg.batch_size, cfg.num_points
+    total = B * (1 + cfg.num_pos + cfg.num_neg + (1 if cfg.other_neg else 0))
+    while True:
+        yield {"points": rng.randn(total, N, 3).astype(np.float32) * 20}
+
+
+def real_batches(cfg):
+    from dh3d_tpu.data import GlobalTrainTriplet, LocalTrainSelfPair
+
+    if cfg.training_local:
+        ds = LocalTrainSelfPair(
+            basedir=cfg.data_basedir,
+            train_file=os.path.join(cfg.data_basedir,
+                                    "oxford_train_local_gt.pickle"),
+            numpts=cfg.num_points,
+            sample_nodes=cfg.sampled_kpnum,
+            aug=cfg.data_aug,
+        )
+        while True:
+            yield from ds.batches(cfg.batch_size)
+    else:
+        ds = GlobalTrainTriplet(
+            basedir=cfg.data_basedir,
+            train_file=os.path.join(cfg.data_basedir,
+                                    "oxford_train_global_gt.pickle"),
+            posnum=cfg.num_pos,
+            negnum=cfg.num_neg,
+            numpts=cfg.num_points,
+            other_neg=cfg.other_neg,
+            aug=cfg.data_aug,
+        )
+        while True:
+            yield from ds.batches(cfg.batch_size)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", required=True,
+                        help="basic_config | detection_config | global_config")
+    parser.add_argument("--logdir", default=None)
+    parser.add_argument("--load", default=None,
+                        help="checkpoint path for warm start (SmartInit)")
+    parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--data_basedir", default=None)
+    parser.add_argument("--num_points", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--num_devices", type=int, default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    from dh3d_tpu import config as cfglib
+    from dh3d_tpu import train as trainlib
+    from dh3d_tpu.parallel import data_parallel_mesh
+    from dh3d_tpu.parallel.mesh import replicate, shard_batch
+
+    cfg = cfglib.get_config(args.cfg)
+    for key in ("data_basedir", "num_points", "batch_size"):
+        if getattr(args, key) is not None:
+            cfg[key] = getattr(args, key)
+
+    logdir = args.logdir or os.path.join(
+        "train_log", f"{args.cfg}_{time.strftime('%m%d-%H%M%S')}"
+    )
+    os.makedirs(logdir, exist_ok=True)
+    cfglib.save_config(cfg, os.path.join(logdir, "config.json"))
+
+    batches = (
+        (synthetic_local_batches(cfg) if cfg.training_local
+         else synthetic_global_batches(cfg))
+        if args.synthetic else real_batches(cfg)
+    )
+    first = next(batches)
+
+    n_dev = args.num_devices or len(jax.devices())
+    mesh = data_parallel_mesh(n_dev)
+    print(f"mesh: {mesh}; logdir: {logdir}")
+
+    with jax.sharding.set_mesh(mesh):
+        state = trainlib.init_state(cfg, jax.random.PRNGKey(0), first)
+        if args.load:
+            loaded = trainlib.load_checkpoint(args.load)
+            params, n = trainlib.smart_init(state.params, loaded["params"])
+            state = state.replace(params=params)
+            print(f"warm start: restored {n} tensors from {args.load}")
+        state = replicate(mesh, state)
+
+        step_fn = trainlib.make_train_step(cfg)
+        t0 = time.time()
+        for i in range(args.steps):
+            batch = shard_batch(mesh, first if i == 0 else next(batches))
+            state, metrics = step_fn(state, batch)
+            if i % 50 == 0 or i == args.steps - 1:
+                m = {k: round(float(v), 5) for k, v in metrics.items()}
+                print(f"step {i} ({(time.time()-t0):.1f}s): "
+                      f"{json.dumps(m)}", flush=True)
+            if (i + 1) % cfg.savemodel_every_k_steps == 0 \
+                    or i == args.steps - 1:
+                path = trainlib.save_checkpoint(
+                    os.path.abspath(os.path.join(logdir, "ckpt")), state, i + 1
+                )
+                print(f"saved {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
