@@ -58,7 +58,7 @@ class LocalTrainSelfPair:
         return cloud.astype(np.float32)
 
     def load_pair(self, ind):
-        from sklearn.neighbors import KDTree
+        from dh3d_tpu import native
 
         pcfile = os.path.join(self.basedir, self.dict[ind]["query"] + ".bin")
         cloud = load_single_pcfile(pcfile)
@@ -72,14 +72,24 @@ class LocalTrainSelfPair:
 
         subset = self.rng.choice(pc1.shape[0], pc1.shape[0] // 2,
                                  replace=False)
-        node_sub = FarthestSampler().sample(
-            pc1[subset], self.sample_nodes, self.rng
-        )
-        anc_inds = subset[node_sub]
-        tree = KDTree(pc2_t)
-        _, pos_inds = tree.query(pc1[anc_inds], k=1)
+        if native.available():
+            # native hot loop: C++ FPS + grid 1-NN (vs python FPS + KD-tree)
+            node_sub = native.fps(
+                pc1[subset], self.sample_nodes,
+                seed_idx=self.rng.randint(len(subset)),
+            )
+            anc_inds = subset[node_sub]
+            pos_inds = native.nn1(pc1[anc_inds], pc2_t)
+        else:
+            from sklearn.neighbors import KDTree
+
+            node_sub = FarthestSampler().sample(
+                pc1[subset], self.sample_nodes, self.rng
+            )
+            anc_inds = subset[node_sub]
+            _, pos_inds = KDTree(pc2_t).query(pc1[anc_inds], k=1)
         return pc1, pc2_t, rot, anc_inds.astype(np.int32), \
-            pos_inds.flatten().astype(np.int32)
+            np.asarray(pos_inds).flatten().astype(np.int32)
 
     def __iter__(self):
         order = list(range(len(self)))

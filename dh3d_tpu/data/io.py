@@ -38,8 +38,12 @@ def get_sets_dict(filename):
 
 
 def voxel_downsample(points, voxel_size=0.2):
-    """Average points per voxel — numpy equivalent of open3d
-    `voxel_down_sample` (`core/utils.py:165-170`)."""
+    """Average points per voxel — equivalent of open3d `voxel_down_sample`
+    (`core/utils.py:165-170`).  Uses the native C++ kernel when built."""
+    from dh3d_tpu import native
+
+    if native.available():
+        return native.voxel_downsample(points, voxel_size)
     points = np.asarray(points, np.float64)
     keys = np.floor(points / voxel_size).astype(np.int64)
     # dictionary-order unique voxels
@@ -53,8 +57,12 @@ def voxel_downsample(points, voxel_size=0.2):
 
 def remove_radius_outlier(points, nb_points=4, radius=1.0):
     """Indices of points with >= nb_points neighbors (excluding self) within
-    `radius` — numpy equivalent of open3d `remove_radius_outlier`
-    (`core/utils.py:173-177`)."""
+    `radius` — equivalent of open3d `remove_radius_outlier`
+    (`core/utils.py:173-177`).  Uses the native C++ kernel when built."""
+    from dh3d_tpu import native
+
+    if native.available():
+        return native.remove_radius_outlier(points, nb_points, radius)
     from scipy.spatial import cKDTree
 
     tree = cKDTree(points)

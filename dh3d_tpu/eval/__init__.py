@@ -1,0 +1,17 @@
+from dh3d_tpu.eval.extract import extract_global, extract_local  # noqa: F401
+from dh3d_tpu.eval.nms import device_nms, single_nms  # noqa: F401
+from dh3d_tpu.eval.registration import (  # noqa: F401
+    RansacResult,
+    match_descriptors_mutual,
+    ransac_rigid,
+    register_clouds,
+    registration_success,
+)
+from dh3d_tpu.eval.retrieval import (  # noqa: F401
+    average_recalls,
+    compute_tp_fp,
+    evaluate_sequences,
+    is_gt_match_2d,
+    load_sets_from_dir,
+    retrieve,
+)

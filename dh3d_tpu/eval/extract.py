@@ -1,0 +1,153 @@
+"""Descriptor extraction drivers — the eval CLI surface.
+
+Mirrors `evaluate/local_eval/localdesc_extract.py` and
+`evaluate/global_eval/globaldesc_extract.py`: batch the eval clouds to a
+fixed size (padding the last batch, `localdesc_extract.py:115-122`), run
+the jitted forward, crop padding, and either save dense maps or NMS
+keypoints ([xyz | 128-d desc | att] rows), / one 256-f32 .bin per cloud.
+
+Note the reference quirk kept for parity: eval attention is INVERTED,
+att = 1 - res[:, -1] (`localdesc_extract.py:94`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional
+
+import numpy as np
+
+from dh3d_tpu.data.io import write_to_bin
+from dh3d_tpu.eval.nms import single_nms
+
+
+def make_forward(cfg, variables, model=None):
+    """Jitted inference forward: points [B, N, 3] -> outs dict."""
+    import jax
+
+    from dh3d_tpu.nn import DH3D
+
+    model = model or DH3D(cfg)
+
+    @jax.jit
+    def fwd(points, knn_inds=None):
+        return model.apply(variables, points, knn_inds=knn_inds, train=False)
+
+    return fwd
+
+
+def local_result_rows(outs, with_attention):
+    """[B, N, 3+128(+1)] rows: xyz | l2-normed descriptor (| attention) —
+    the 'xyz_feat(_att)' output tensors (`core/model.py:181,188`)."""
+    key = "xyz_feat_att" if with_attention else "xyz_feat"
+    return np.asarray(outs[key])
+
+
+def extract_local(cfg, variables, dataset: Iterable, save_dir,
+                  batch_size=1, perform_nms=False, save_all=False,
+                  nms_rad=0.5, nms_min_ratio=0.01, nms_max_kp=512,
+                  model=None):
+    """Per-cloud local descriptor extraction
+    (`localdesc_extract.py:106-138` perform_pred + pred_saveres).
+
+    dataset yields [cloud [N,3], name, ori_num(, knn_ind)].
+    Writes `<name>_res.bin` (dense) or `<name>_nms_res.bin` (keypoints).
+    """
+    os.makedirs(save_dir, exist_ok=True)
+    fwd = make_forward(cfg, variables, model)
+    with_att = bool(cfg.detection)
+
+    buf, names, orinums, knns = [], [], [], []
+
+    def flush():
+        if not buf:
+            return 0
+        batch = np.stack(buf)
+        pad = batch_size - batch.shape[0]
+        if pad > 0:
+            batch = np.concatenate(
+                [batch, np.zeros((pad,) + batch.shape[1:], np.float32)]
+            )
+        knn = None
+        if knns and knns[0] is not None:
+            knn = np.stack(knns)
+            if pad > 0:
+                knn = np.concatenate(
+                    [knn, np.zeros((pad,) + knn.shape[1:], np.int32)]
+                )
+        outs = fwd(batch, knn) if knn is not None else fwd(batch)
+        rows = local_result_rows(outs, with_att)
+        n = 0
+        for b, (name, num) in enumerate(zip(names, orinums)):
+            res = rows[b][:num]
+            stem = os.path.splitext(name)[0]
+            if save_all or not with_att:
+                write_to_bin(np.float32(res),
+                             os.path.join(save_dir, f"{stem}_res.bin"))
+            elif perform_nms:
+                xyz = res[:, 0:3]
+                attention = 1 - res[:, -1]  # reference inversion
+                _, max_idx = single_nms(
+                    xyz, attention, nms_radius=nms_rad,
+                    min_response_ratio=nms_min_ratio,
+                    max_keypoints=nms_max_kp,
+                )
+                write_to_bin(np.float32(res[max_idx, :]),
+                             os.path.join(save_dir, f"{stem}_nms_res.bin"))
+            else:
+                write_to_bin(np.float32(res),
+                             os.path.join(save_dir, f"{stem}_res.bin"))
+            n += 1
+        buf.clear(); names.clear(); orinums.clear(); knns.clear()
+        return n
+
+    total = 0
+    for item in dataset:
+        cloud, name, ori_num = item[0], item[1], item[2]
+        buf.append(np.asarray(cloud, np.float32))
+        names.append(name)
+        orinums.append(int(ori_num))
+        knns.append(item[3] if len(item) > 3 else None)
+        if len(buf) == batch_size:
+            total += flush()
+    total += flush()
+    return total
+
+
+def extract_global(cfg, variables, dataset: Iterable, save_dir,
+                   batch_size=4, model=None):
+    """Per-cloud 256-f32 global descriptors
+    (`globaldesc_extract.py:81-100`).  dataset yields [cloud, name]."""
+    os.makedirs(save_dir, exist_ok=True)
+    fwd = make_forward(cfg, variables, model)
+
+    buf, names = [], []
+
+    def flush():
+        if not buf:
+            return 0
+        batch = np.stack(buf)
+        pad = batch_size - batch.shape[0]
+        if pad > 0:
+            batch = np.concatenate(
+                [batch, np.zeros((pad,) + batch.shape[1:], np.float32)]
+            )
+        gd = np.asarray(fwd(batch)["global_desc"])
+        n = 0
+        for b, name in enumerate(names):
+            out = os.path.join(save_dir,
+                               os.path.splitext(name)[0] + ".bin")
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            write_to_bin(np.float32(gd[b]), out)
+            n += 1
+        buf.clear(); names.clear()
+        return n
+
+    total = 0
+    for cloud, name in dataset:
+        buf.append(np.asarray(cloud, np.float32))
+        names.append(name)
+        if len(buf) == batch_size:
+            total += flush()
+    total += flush()
+    return total

@@ -157,7 +157,9 @@ def _split_tuple(global_descs, batch_size, num_pos, num_neg, other_neg):
     sizes = [batch_size, num_pos * batch_size, num_neg * batch_size]
     if other_neg:
         sizes.append(batch_size)
-    splits = jnp.split(global_descs, list(jnp.cumsum(jnp.array(sizes))[:-1]), 0)
+    # split points must be static Python ints (jit-traceable)
+    cuts = [sum(sizes[: i + 1]) for i in range(len(sizes) - 1)]
+    splits = jnp.split(global_descs, cuts, 0)
     q = splits[0].reshape(batch_size, 1, d)
     pos = splits[1].reshape(batch_size, num_pos, d)
     neg = splits[2].reshape(batch_size, num_neg, d)

@@ -37,6 +37,7 @@ class FlexConvDilate(nn.Module):
     upsample: bool = True
     use_running_average: bool = True
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, xyz, feat, knn_indices=None):
@@ -55,7 +56,7 @@ class FlexConvDilate(nn.Module):
         for i, d in enumerate(self.outdims):
             x = FlexConvBN(
                 d, self.use_running_average, self.bn_axis_name,
-                name=f"flexconv_{i}",
+                dtype=self.dtype, name=f"flexconv_{i}",
             )(x, points_s, knn_indices)
 
         if self.add_se == "max_pool":
@@ -84,7 +85,8 @@ class FlexConvDilate(nn.Module):
             new_feat = Conv1x1(
                 self.outdims[-1],
                 use_running_average=self.use_running_average,
-                bn_axis_name=self.bn_axis_name, name="concat_conv1d",
+                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                name="concat_conv1d",
             )(new_feat)
         return xyz, new_feat
 
@@ -96,10 +98,12 @@ class BackboneLocalDilate(nn.Module):
     dilate2: int = 8
     use_running_average: bool = True
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, points, knn_ind):
         ura, axn = self.use_running_average, self.bn_axis_name
+        dt = self.dtype
         nn_8 = knn_ind[..., :8]
 
         # initconv: conv_pointset on raw xyz + BN/relu, then flex max-pool
@@ -111,21 +115,21 @@ class BackboneLocalDilate(nn.Module):
         _, x1 = FlexConvDilate(
             dilate=1, knn=8, outdims=(64, 64), concat=False,
             add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
-            name="stage1",
+            dtype=dt, name="stage1",
         )(points, init_f, knn_indices=nn_8)
 
         # stage 2: dilate 8, dims [128, 128], concat + 1x1
         x2 = Conv1x1(64, use_running_average=ura, bn_axis_name=axn,
-                     name="before_stage2_conv1d")(x1)
+                     dtype=dt, name="before_stage2_conv1d")(x1)
         _, x2 = FlexConvDilate(
             dilate=self.dilate2, knn=8, outdims=(128, 128), concat=True,
             add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
-            name="stage2",
+            dtype=dt, name="stage2",
         )(points, x2)
 
         # combine with stage-1 shortcut (`core/backbones.py:123`)
         feat = Conv1x1(128, use_running_average=ura, bn_axis_name=axn,
-                       name="local_stage1_shortcut")(x1) + x2
+                       dtype=dt, name="local_stage1_shortcut")(x1) + x2
 
         if self.featdim < 128:
             feat = Conv1x1(self.featdim, use_running_average=ura,
@@ -141,13 +145,14 @@ class DetectionBlock(nn.Module):
     use_softplus: bool = False
     use_running_average: bool = True
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, features):
         x = features
         for i, d in enumerate(self.conv_dims):
             x = Conv1x1(d, use_running_average=self.use_running_average,
-                        bn_axis_name=self.bn_axis_name,
+                        bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                         name=f"detec_conv{i}")(x)
         logits = nn.Dense(
             1, kernel_init=nn.initializers.he_normal(),
@@ -162,6 +167,7 @@ class GlobalAttBlock(nn.Module):
 
     use_running_average: bool = True
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, features):
@@ -170,7 +176,7 @@ class GlobalAttBlock(nn.Module):
         x = features
         for i, d in enumerate(conv_dims):
             x = Conv1x1(d, use_running_average=self.use_running_average,
-                        bn_axis_name=self.bn_axis_name,
+                        bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                         name=f"detec_conv{i}")(x)
         logits = nn.Dense(1, kernel_init=nn.initializers.he_normal(),
                           name="detec_conv_fc")(x)
@@ -187,6 +193,7 @@ class GlobalBeforeAssemble(nn.Module):
     concat_xyz: bool = False
     use_running_average: bool = True
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, points, localdesc):
@@ -196,7 +203,8 @@ class GlobalBeforeAssemble(nn.Module):
             dilate=self.gl_dilate, knn=self.knn_num, outdims=self.gl_dims,
             concat=False, add_se="", upsample=True,
             use_running_average=self.use_running_average,
-            bn_axis_name=self.bn_axis_name, name="global_before_assemble",
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+            name="global_before_assemble",
         )(points, localdesc)
 
 

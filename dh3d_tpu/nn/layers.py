@@ -53,10 +53,16 @@ class BatchNorm(nn.Module):
 
 
 class FlexConv(nn.Module):
-    """Flex convolution layer (`core/layers.py:178-339`)."""
+    """Flex convolution layer (`core/layers.py:178-339`).
+
+    `dtype` is the compute dtype (mixed precision): params are stored f32
+    and cast at use; the neighbor gather + moment matmul run in `dtype`
+    with f32 accumulation (preferred_element_type in the op).
+    """
 
     features: int
     use_feature_bias: bool = True
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, feat, pos, nbh):
@@ -69,6 +75,11 @@ class FlexConv(nn.Module):
         pos_bias = self.param(
             "position_bias", nn.initializers.zeros, (din, self.features)
         )
+        if self.dtype is not None:
+            feat = feat.astype(self.dtype)
+            pos = pos.astype(self.dtype)
+            theta = theta.astype(self.dtype)
+            pos_bias = pos_bias.astype(self.dtype)
         y = ops.flex_conv(feat, pos, nbh, theta, pos_bias)
         if self.use_feature_bias:
             y = y + self.param(
@@ -79,16 +90,18 @@ class FlexConv(nn.Module):
 
 class FlexConvBN(nn.Module):
     """flexconv_withBatchnorm (`core/tf_utils.py:48-64`): flexconv (linear)
-    -> BN -> relu."""
+    -> BN -> relu.  BN/activation stay f32 for stability."""
 
     features: int
     use_running_average: bool = True
     bn_axis_name: Optional[str] = None
     act: Callable = nn.relu
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, feat, pos, nbh):
-        x = FlexConv(self.features, name="flexconv")(feat, pos, nbh)
+        x = FlexConv(self.features, dtype=self.dtype,
+                     name="flexconv")(feat, pos, nbh)
         x = BatchNorm(
             self.use_running_average, axis_name=self.bn_axis_name, name="norm"
         )(x)
@@ -117,6 +130,7 @@ class ConvPointsetBN(nn.Module):
     features: int
     use_running_average: bool = True
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, feat, nbh):
@@ -136,11 +150,13 @@ class Conv1x1(nn.Module):
     act: Optional[Callable] = nn.relu
     use_running_average: bool = True
     bn_axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(
-            self.features, kernel_init=nn.initializers.he_normal(), name="dense"
+            self.features, kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype, name="dense"
         )(x)
         if self.bn:
             x = BatchNorm(

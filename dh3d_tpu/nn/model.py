@@ -51,6 +51,7 @@ class DH3D(nn.Module):
         ura = not train
         axn = cfg.sync_batchnorm and "data" or None
         compute_dtype = jnp.dtype(cfg.compute_dtype or "float32")
+        dt = None if compute_dtype == jnp.float32 else compute_dtype
 
         if knn_inds is None:
             knn_inds, _ = ops.knn_bruteforce(points, cfg.knn_num)
@@ -64,6 +65,7 @@ class DH3D(nn.Module):
             dilate2=cfg.dilate or 8,
             use_running_average=ura or bool(cfg.freezebackbone),
             bn_axis_name=axn,
+            dtype=dt,
             name="local_backbone",
         )(xin, knn_inds)
         localdesc = localdesc.astype(jnp.float32)
@@ -77,6 +79,7 @@ class DH3D(nn.Module):
             det_att = backbones.DetectionBlock(
                 use_running_average=ura or bool(cfg.freezedetection),
                 bn_axis_name=axn,
+                dtype=dt,
                 name="detection_block",
             )(localdesc)
             outs["attention"] = det_att
@@ -112,6 +115,7 @@ class DH3D(nn.Module):
                     concat_xyz=bool(cfg.concat_xyz),
                     use_running_average=ura_g,
                     bn_axis_name=axn,
+                    dtype=dt,
                     name="global_backbone",
                 )(newpoints, localdesc.astype(compute_dtype))
             else:
@@ -130,7 +134,8 @@ class DH3D(nn.Module):
                 )
 
             global_att = backbones.GlobalAttBlock(
-                use_running_average=ura_g, bn_axis_name=axn, name="globalatt"
+                use_running_average=ura_g, bn_axis_name=axn, dtype=dt,
+                name="globalatt"
             )(forglobal)
 
             globaldesc = backbones.NetVLAD(

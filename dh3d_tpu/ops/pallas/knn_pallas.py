@@ -32,14 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _knn_kernel(q_ref, keys_ref, idx_ref, dist_ref, *, k):
-    q = q_ref[0]  # [TQ, 3]
-    keys = keys_ref[0]  # [N, 3]
-    tq = q.shape[0]
-    n = keys.shape[0]
+    # transposed layout: q_ref [1, 3, TQ], keys_ref [1, 3, N] — coordinates
+    # as lane rows, so nothing pads a 3-wide lane dim to 128 (VMEM waste)
+    tq = q_ref.shape[2]
+    n = keys_ref.shape[2]
 
     d2 = jnp.zeros((tq, n), jnp.float32)
     for d in range(3):
-        diff = q[:, d][:, None] - keys[:, d][None, :]
+        qcol = q_ref[0, d, :][:, None]  # [TQ, 1]
+        krow = keys_ref[0, d, :][None, :]  # [1, N]
+        diff = qcol - krow
         d2 = d2 + diff * diff
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
@@ -98,14 +100,17 @@ def _knn_pallas_call(query, keys, k, tile_q, interpret):
     N = keys.shape[1]
     grid = (B, M // tile_q)
 
+    q_t = jnp.transpose(query, (0, 2, 1))  # [B, 3, M]
+    keys_t = jnp.transpose(keys, (0, 2, 1))  # [B, 3, N]
+
     kernel = functools.partial(_knn_kernel, k=k)
     idx, d2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile_q, 3), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, 3, tile_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 3), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, 3, N), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -119,5 +124,5 @@ def _knn_pallas_call(query, keys, k, tile_q, interpret):
             jax.ShapeDtypeStruct((B, M, k), jnp.float32),
         ],
         interpret=interpret,
-    )(query, keys)
+    )(q_t, keys_t)
     return idx, d2

@@ -19,19 +19,31 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("npoint",))
-def farthest_point_sample(points, npoint):
+def farthest_point_sample(points, npoint, impl="auto"):
     """Iterative farthest point sampling.
 
     Args:
       points: [B, N, 3] coordinates.
       npoint: number of samples m.
+      impl: 'auto' (Pallas in-VMEM loop kernel on TPU, lax.fori_loop
+        elsewhere), 'pallas', or 'xla'.
 
     Returns:
       [B, m] int32 indices.  Seeded at index 0 like the reference kernel
       (`tf_sampling_g.cu:114-116`); the next sample is always the point
       maximizing the min distance to all previously chosen ones.
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and points.shape[-1] == 3:
+        from dh3d_tpu.ops.pallas.fps_pallas import fps_pallas
+
+        return fps_pallas(points, npoint)
+    return _fps_xla(points, npoint)
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def _fps_xla(points, npoint):
     B, N, _ = points.shape
 
     def body(j, carry):

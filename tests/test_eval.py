@@ -1,0 +1,180 @@
+"""Evaluation-layer tests: NMS parity, retrieval recall on synthetic
+descriptors with known GT, RANSAC recovering a known rigid transform, and
+the end-to-end extract -> retrieval flow on a tiny model."""
+
+import os
+
+import jax
+import numpy as np
+
+from dh3d_tpu import config as cfglib
+from dh3d_tpu.eval import (
+    average_recalls,
+    evaluate_sequences,
+    is_gt_match_2d,
+    match_descriptors_mutual,
+    ransac_rigid,
+    register_clouds,
+    registration_success,
+    single_nms,
+)
+from dh3d_tpu.eval.nms import device_nms
+from dh3d_tpu.utils.transforms import rigid_transform_3d, rotation_error_deg
+
+
+def test_rigid_transform_recovers_exact(rng):
+    A = rng.randn(50, 3)
+    ang = 0.7
+    R_gt = np.array([
+        [np.cos(ang), -np.sin(ang), 0],
+        [np.sin(ang), np.cos(ang), 0],
+        [0, 0, 1],
+    ])
+    t_gt = np.array([1.0, -2.0, 0.5])
+    B = (A - t_gt) @ R_gt  # so A = B @ R_gt.T + t_gt ... construct directly
+    B = (A - t_gt) @ np.linalg.inv(R_gt).T
+    R, t = rigid_transform_3d(A, B)
+    np.testing.assert_allclose(B @ R.T + t, A, atol=1e-8)
+    assert rotation_error_deg(R, R_gt) < 1e-6
+
+
+def test_ransac_with_outliers(rng):
+    kp2 = rng.randn(100, 3) * 10
+    ang = 0.5
+    R_gt = np.array([
+        [np.cos(ang), -np.sin(ang), 0],
+        [np.sin(ang), np.cos(ang), 0],
+        [0, 0, 1],
+    ])
+    t_gt = np.array([2.0, 1.0, -0.3])
+    kp1 = kp2 @ R_gt.T + t_gt
+    # corrupt 30% with large outliers
+    bad = rng.choice(100, 30, replace=False)
+    kp1 = kp1.copy()
+    kp1[bad] += rng.randn(30, 3) * 50
+    res = ransac_rigid(kp1, kp2, inlier_thresh=0.5, iters=500, seed=1)
+    assert res is not None
+    assert res.num_inliers >= 65
+    ok, rte, rre = registration_success(res.R, res.t, R_gt, t_gt)
+    assert ok, (rte, rre)
+
+
+def test_register_clouds_end_to_end(rng):
+    # distinctive descriptors -> mutual matching is near-perfect
+    desc = rng.randn(80, 32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    kp2 = rng.randn(80, 3) * 5
+    ang = -0.3
+    R_gt = np.array([
+        [np.cos(ang), -np.sin(ang), 0],
+        [np.sin(ang), np.cos(ang), 0],
+        [0, 0, 1],
+    ])
+    t_gt = np.array([0.5, 0.2, 0.1])
+    kp1 = kp2 @ R_gt.T + t_gt
+    res = register_clouds(kp1, desc + rng.randn(80, 32) * 0.01,
+                          kp2, desc, iters=300, seed=2)
+    assert res is not None
+    ok, _, _ = registration_success(res.R, res.t, R_gt, t_gt)
+    assert ok
+
+
+def test_mutual_matching():
+    d1 = np.array([[1.0, 0], [0, 1], [1, 1]])
+    d2 = np.array([[0.0, 1], [1, 0]])
+    m = match_descriptors_mutual(d1, d2)
+    assert {(a, b) for a, b in m} == {(0, 1), (1, 0)}
+
+
+def test_nms_host_simple():
+    # 3 clusters; highest-attention point of each survives
+    xyz = np.array([
+        [0, 0, 0], [0.1, 0, 0], [0.2, 0, 0],
+        [10, 0, 0], [10.1, 0, 0],
+        [20, 0, 0],
+    ], np.float64)
+    att = np.array([0.9, 0.5, 0.4, 0.3, 0.8, 0.7])
+    n, idx = single_nms(xyz, att, nms_radius=1.0, min_response_ratio=0.01,
+                        max_keypoints=10, remove_noise=False)
+    assert set(idx) == {0, 4, 5}
+    assert idx == [0, 4, 5]  # descending attention
+
+
+def test_nms_noise_removal():
+    xyz = np.concatenate([
+        np.random.RandomState(0).randn(60, 3) * 0.3,  # dense cluster
+        np.array([[50.0, 50, 50]]),                   # isolated outlier
+    ])
+    att = np.full(61, 0.5)
+    att[60] = 0.99  # outlier has the top response
+    n, idx = single_nms(xyz, att, nms_radius=0.5, min_response_ratio=0.01,
+                        max_keypoints=5, remove_noise=True)
+    assert 60 not in idx  # noise removal killed it
+
+
+def test_device_nms_matches_host(rng):
+    xyz = rng.randn(200, 3).astype(np.float32) * 3
+    att = rng.rand(200).astype(np.float32)
+    n_h, idx_h = single_nms(xyz.astype(np.float64), att.copy(), 0.5, 0.01,
+                            50, remove_noise=True)
+    n_d, idx_d = device_nms(xyz, att, 0.5, 0.01, 50, remove_noise=True)
+    assert n_h == n_d
+    np.testing.assert_array_equal(np.asarray(idx_d)[:n_d], idx_h)
+
+
+def test_retrieval_recall_synthetic(rng):
+    # two sequences; descriptors = noisy position encodings so retrieval
+    # works by construction
+    def make_seq(offset):
+        n = 40
+        northing = np.arange(n) * 30.0 + offset  # 30 m spacing
+        easting = np.zeros(n)
+        desc = np.stack([northing / 100.0, easting], 1)
+        desc = np.concatenate([desc, np.zeros((n, 6))], 1)
+        return {
+            "pos": {"northing": northing, "easting": easting},
+            "desc": desc + rng.randn(n, 8) * 0.001,
+        }
+
+    ref = {"A": make_seq(0.0)}
+    query = {"B": make_seq(5.0)}  # 5 m offset -> GT match is the same index
+    results = evaluate_sequences(ref, query, max_num_nn=25)
+    assert len(results) == 1
+    avg, one_percent = average_recalls(results)
+    assert avg[0] > 0.99  # recall@1 ~ 1 by construction
+    assert one_percent > 0.99
+
+
+def test_gt_match_2d():
+    q = {"northing": np.array([0.0, 100.0]), "easting": np.array([0.0, 0.0])}
+    r = {"northing": np.array([10.0, 90.0]), "easting": np.array([0.0, 0.0])}
+    gt = is_gt_match_2d(q, r, 25)
+    np.testing.assert_array_equal(gt, [[True, False], [False, True]])
+
+
+def test_extract_and_retrieve_roundtrip(tmp_path, rng):
+    """Tiny model -> extract_global over two 'sequences' -> files -> recall
+    pipeline runs end to end."""
+    from dh3d_tpu.eval import extract_global, load_sets_from_dir
+    from dh3d_tpu.nn import DH3D
+
+    N = 64
+    cfg = cfglib.get_config("global_config")
+    cfg.num_points = N
+    model = DH3D(cfg)
+    pts = rng.randn(1, N, 3).astype(np.float32) * 5
+    variables = jax.jit(lambda k, p: model.init(k, p, train=False))(
+        jax.random.PRNGKey(0), pts)
+
+    names = ["seqA/1", "seqA/2", "seqB/1"]
+    clouds = [rng.randn(N, 3).astype(np.float32) * 5 for _ in names]
+    ds = list(zip(clouds, [n + ".bin" for n in names]))
+    n = extract_global(cfg, variables, ds, str(tmp_path / "desc"),
+                       batch_size=2, model=model)
+    assert n == 3
+    for name in names:
+        f = tmp_path / "desc" / (name + ".bin")
+        assert f.exists()
+        d = np.fromfile(f, np.float32)
+        assert d.shape == (256,)
+        np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-3)

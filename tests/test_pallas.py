@@ -37,3 +37,14 @@ def test_knn_pallas_unaligned_sizes(rng):
     np.testing.assert_array_equal(np.asarray(idx), oidx)
     # self at slot 0
     np.testing.assert_array_equal(np.asarray(idx)[0, :, 0], np.arange(100))
+
+
+def test_fps_pallas_matches_xla(rng):
+    from dh3d_tpu.ops.pallas.fps_pallas import fps_pallas
+    from dh3d_tpu.ops.sampling import _fps_xla
+    import jax.numpy as jnp
+
+    pts = rng.randn(3, 128, 3).astype(np.float32) * 5
+    pi = fps_pallas(jnp.asarray(pts), 32, interpret=True)
+    xi = _fps_xla(jnp.asarray(pts), 32)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
