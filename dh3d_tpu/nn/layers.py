@@ -76,8 +76,9 @@ class FlexConv(nn.Module):
             "position_bias", nn.initializers.zeros, (din, self.features)
         )
         if self.dtype is not None:
+            # positions stay f32 (geometric precision); the op casts the
+            # deltas after subtraction
             feat = feat.astype(self.dtype)
-            pos = pos.astype(self.dtype)
             theta = theta.astype(self.dtype)
             pos_bias = pos_bias.astype(self.dtype)
         y = ops.flex_conv(feat, pos, nbh, theta, pos_bias)
@@ -167,6 +168,72 @@ class Conv1x1(nn.Module):
         if self.act is not None:
             x = self.act(x)
         return x
+
+
+class FlexAvg(nn.Module):
+    """Flex_Avg layer (`core/layers.py:342-436`): a frozen flex_conv with
+    zero theta and identity bias == neighborhood sum; the caller scales by
+    1/knn (`core/backbones.py:82`).  Kept as a module for layer-surface
+    parity; the fused op is `ops.flex_avg`."""
+
+    filters: int
+
+    @nn.compact
+    def __call__(self, feat, pos, nbh):
+        del pos  # zero theta -> position-independent
+        assert feat.shape[-1] == self.filters, (
+            "Flex_Avg identity bias requires Din == Dout"
+        )
+        return ops.flex_avg(feat, nbh)
+
+
+class FlexConvTranspose(nn.Module):
+    """FlexConvolutionTranspose layer (`core/layers.py:483-561`): exposed
+    for op-surface parity — unused by the DH3D graph (SURVEY.md §2.1 N4)."""
+
+    features: int
+    use_feature_bias: bool = True
+
+    @nn.compact
+    def __call__(self, feat, pos, nbh):
+        din, dp = feat.shape[-1], pos.shape[-1]
+        theta = self.param(
+            "position_theta",
+            nn.initializers.glorot_uniform(in_axis=(0, 1), out_axis=2),
+            (dp, din, self.features),
+        )
+        pos_bias = self.param(
+            "position_bias", nn.initializers.zeros, (din, self.features)
+        )
+        y = ops.flex_deconv(feat, pos, nbh, theta, pos_bias)
+        if self.use_feature_bias:
+            y = y + self.param(
+                "feature_bias", nn.initializers.zeros, (self.features,)
+            )
+        return y
+
+
+class SEBottleneck(nn.Module):
+    """se_bottleneck (`core/backbones.py:33-42`): the non-residual variant
+    (no shortcut/relu)."""
+
+    ch_out: int
+    use_running_average: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, pool_x):
+        s = Conv1x1(
+            self.ch_out // 4, act=nn.relu,
+            use_running_average=self.use_running_average,
+            bn_axis_name=self.bn_axis_name, name="f1",
+        )(pool_x)
+        s = Conv1x1(
+            self.ch_out, act=nn.sigmoid,
+            use_running_average=self.use_running_average,
+            bn_axis_name=self.bn_axis_name, name="f2",
+        )(s)
+        return x * s
 
 
 class SEResBottleneck(nn.Module):

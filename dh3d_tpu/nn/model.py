@@ -59,7 +59,8 @@ class DH3D(nn.Module):
         outs = {"xyz": points, "knn_indices": knn_inds}
 
         # ---- local backbone (`core/model.py:99-108,176`)
-        xin = points.astype(compute_dtype)
+        # points stay f32: all geometry (knn/FPS/three_nn/deltas) needs full
+        # precision; layers cast features to the compute dtype internally
         newpoints, localdesc = backbones.BackboneLocalDilate(
             featdim=cfg.featdim,
             dilate2=cfg.dilate or 8,
@@ -67,7 +68,7 @@ class DH3D(nn.Module):
             bn_axis_name=axn,
             dtype=dt,
             name="local_backbone",
-        )(xin, knn_inds)
+        )(points, knn_inds)
         localdesc = localdesc.astype(jnp.float32)
         localdesc_l2 = l2_normalize(localdesc, axis=-1, epsilon=1e-8)
         outs["feat"] = localdesc
@@ -117,7 +118,7 @@ class DH3D(nn.Module):
                     bn_axis_name=axn,
                     dtype=dt,
                     name="global_backbone",
-                )(newpoints, localdesc.astype(compute_dtype))
+                )(newpoints, localdesc)
             else:
                 gpoints, forglobal = backbones.GlobalBeforeAssembleConv1d(
                     gl_dims=tuple(cfg.gl_dims or (256,)),
@@ -125,7 +126,7 @@ class DH3D(nn.Module):
                     use_running_average=ura_g,
                     bn_axis_name=axn,
                     name="global_backbone",
-                )(newpoints, localdesc.astype(compute_dtype))
+                )(newpoints, localdesc)
             forglobal = forglobal.astype(jnp.float32)
 
             if cfg.global_subsample and cfg.global_subsample > 0:

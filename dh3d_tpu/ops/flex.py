@@ -45,8 +45,11 @@ def _flex_moments(features, positions, neighborhood):
     f_k = gather_neighbors(features, neighborhood)  # [B,N,K,Din]
     p_k = gather_neighbors(positions, neighborhood)  # [B,N,K,Dp]
     # delta relative to the *first* neighborhood entry (== self for knn),
-    # `flex_conv_kernel.cc:59-60`.
-    delta = p_k - p_k[:, :, :1, :]  # [B,N,K,Dp]
+    # `flex_conv_kernel.cc:59-60`.  Computed in the POSITION dtype (keep
+    # positions f32 under mixed precision: absolute coordinates ~100 m in
+    # bf16 would quantize deltas at ~0.5 m), then cast to the feature
+    # compute dtype for the moment matmul.
+    delta = (p_k - p_k[:, :, :1, :]).astype(f_k.dtype)  # [B,N,K,Dp]
     m0 = jnp.sum(f_k, axis=2)  # [B,N,Din]
     m1 = jnp.einsum("bnkp,bnkd->bnpd", delta, f_k,
                     precision="highest", preferred_element_type=jnp.float32)  # [B,N,Dp,Din]

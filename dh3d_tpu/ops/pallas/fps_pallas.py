@@ -54,7 +54,7 @@ def _fps_kernel(pts_ref, idx_ref, mind_ref, *, m):
 def fps_pallas(points, npoint, interpret=False):
     """points [B, N, 3] float32 -> [B, npoint] int32 FPS indices."""
     B, N, _ = points.shape
-    pts_t = jnp.transpose(points, (0, 2, 1))  # [B, 3, N]
+    pts_t = jnp.transpose(points.astype(jnp.float32), (0, 2, 1))  # [B, 3, N]
     kernel = functools.partial(_fps_kernel, m=npoint)
     # output laid out [B, 1, npoint] so the block's trailing dims equal the
     # array dims (Mosaic block-shape constraint); squeezed on return.

@@ -71,6 +71,8 @@ def knn_pallas(query, keys, k, tile_q=256, interpret=False):
     the extra rows sliced off.  The query-tile height adapts so the [TQ, N]
     distance tile stays within the VMEM budget.
     """
+    query = query.astype(jnp.float32)
+    keys = keys.astype(jnp.float32)
     B, M, _ = query.shape
     N = keys.shape[1]
 

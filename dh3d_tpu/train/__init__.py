@@ -8,6 +8,7 @@ from dh3d_tpu.train.trainer import (  # noqa: F401
     make_optimizer,
     make_train_step,
     param_labels,
+    restore_state,
     save_checkpoint,
     smart_init,
 )

@@ -205,23 +205,31 @@ def smart_init(init_params, loaded_params):
 
 
 # ------------------------- checkpointing (orbax) -------------------------
+#
+# The reference checkpoints via tensorpack ModelSaver every
+# `savemodel_every_k_steps` (`train.py:35-38`); full-state checkpoints here
+# additionally carry the optimizer state so training resumes exactly.
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, step: Optional[int] = None):
+def save_checkpoint(ckpt_dir: str, state: TrainState,
+                    step: Optional[int] = None, include_opt: bool = True):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     step = int(state.step) if step is None else step
     path = f"{ckpt_dir}/step_{step:08d}"
-    ckptr.save(
-        path,
-        {
-            "params": jax.device_get(flax.core.unfreeze(state.params)),
-            "batch_stats": jax.device_get(
-                flax.core.unfreeze(state.batch_stats)
-            ),
-            "step": jax.device_get(state.step),
-        },
-    )
+    payload = {
+        "params": jax.device_get(flax.core.unfreeze(state.params)),
+        "batch_stats": jax.device_get(flax.core.unfreeze(state.batch_stats)),
+        "step": jax.device_get(state.step),
+    }
+    if include_opt:
+        # flatten the optax state (it contains namedtuple nodes orbax can't
+        # round-trip structurally); the treedef is rebuilt from a fresh
+        # state on restore
+        payload["opt_leaves"] = [
+            jax.device_get(x) for x in jax.tree_util.tree_leaves(state.opt_state)
+        ]
+    ckptr.save(path, payload)
     ckptr.wait_until_finished()
     return path
 
@@ -231,3 +239,21 @@ def load_checkpoint(path: str):
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path)
+
+
+def restore_state(path: str, state: TrainState) -> TrainState:
+    """Exact-resume restore into a freshly initialized TrainState (same
+    config): params, batch stats, step, and optimizer state."""
+    loaded = load_checkpoint(path)
+    new = state.replace(
+        params=loaded["params"],
+        batch_stats=loaded["batch_stats"],
+        step=jnp.asarray(loaded["step"], jnp.int32),
+    )
+    if "opt_leaves" in loaded:
+        treedef = jax.tree_util.tree_structure(state.opt_state)
+        leaves = [jnp.asarray(x) for x in loaded["opt_leaves"]]
+        new = new.replace(
+            opt_state=jax.tree_util.tree_unflatten(treedef, leaves)
+        )
+    return new

@@ -147,3 +147,21 @@ def test_data_parallel_train_step(rng):
         np.testing.assert_allclose(
             float(m1["total_cost"]), float(m2["total_cost"]), rtol=1e-4
         )
+
+
+def test_checkpoint_exact_resume(rng, tmp_path):
+    """Full-state checkpoint -> restore -> next step is bit-identical."""
+    cfg = small_cfg()
+    batch = make_local_batch(rng)
+    state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step = trainlib.make_train_step(cfg)
+    state, _ = step(state, batch)
+    path = trainlib.save_checkpoint(str(tmp_path), state)
+    fresh = trainlib.init_state(cfg, jax.random.PRNGKey(1), batch)
+    restored = trainlib.restore_state(path, fresh)
+    assert int(restored.step) == int(state.step)
+    _, m1 = step(state, batch)
+    _, m2 = step(restored, batch)
+    np.testing.assert_allclose(
+        float(m1["total_cost"]), float(m2["total_cost"]), rtol=0, atol=0
+    )

@@ -89,6 +89,12 @@ def main():
     parser.add_argument("--logdir", default=None)
     parser.add_argument("--load", default=None,
                         help="checkpoint path for warm start (SmartInit)")
+    parser.add_argument("--resume", default=None,
+                        help="checkpoint path for exact resume (params + "
+                             "optimizer state + step)")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of steps 10-15 "
+                             "into <logdir>/profile")
     parser.add_argument("--steps", type=int, default=2000)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--data_basedir", default=None)
@@ -126,9 +132,13 @@ def main():
     mesh = data_parallel_mesh(n_dev)
     print(f"mesh: {mesh}; logdir: {logdir}")
 
+    metrics_log = open(os.path.join(logdir, "metrics.jsonl"), "a")
     with jax.sharding.set_mesh(mesh):
         state = trainlib.init_state(cfg, jax.random.PRNGKey(0), first)
-        if args.load:
+        if args.resume:
+            state = trainlib.restore_state(args.resume, state)
+            print(f"resumed at step {int(state.step)} from {args.resume}")
+        elif args.load:
             loaded = trainlib.load_checkpoint(args.load)
             params, n = trainlib.smart_init(state.params, loaded["params"])
             state = state.replace(params=params)
@@ -137,15 +147,24 @@ def main():
 
         step_fn = trainlib.make_train_step(cfg)
         t0 = time.time()
-        for i in range(args.steps):
-            batch = shard_batch(mesh, first if i == 0 else next(batches))
+        start = int(state.step)
+        for i in range(start, start + args.steps):
+            batch = shard_batch(mesh, first if i == start else next(batches))
+            if args.profile and i == start + 10:
+                jax.profiler.start_trace(os.path.join(logdir, "profile"))
             state, metrics = step_fn(state, batch)
-            if i % 50 == 0 or i == args.steps - 1:
+            if args.profile and i == start + 15:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+            if i % 50 == 0 or i == start + args.steps - 1:
                 m = {k: round(float(v), 5) for k, v in metrics.items()}
-                print(f"step {i} ({(time.time()-t0):.1f}s): "
-                      f"{json.dumps(m)}", flush=True)
+                m["step"] = i
+                m["wall_s"] = round(time.time() - t0, 1)
+                print(f"step {i}: {json.dumps(m)}", flush=True)
+                metrics_log.write(json.dumps(m) + "\n")
+                metrics_log.flush()
             if (i + 1) % cfg.savemodel_every_k_steps == 0 \
-                    or i == args.steps - 1:
+                    or i == start + args.steps - 1:
                 path = trainlib.save_checkpoint(
                     os.path.abspath(os.path.join(logdir, "ckpt")), state, i + 1
                 )
