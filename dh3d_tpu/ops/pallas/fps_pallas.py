@@ -7,11 +7,15 @@ running min-distance resident in VMEM, the same structure as the
 reference's CUDA kernel (`tf_ops/sampling/tf_sampling_g.cu:105-170`) but
 with the VPU doing the N-wide distance/min/argmax work.
 
-Implementation notes (Mosaic constraints): points are passed transposed
-[B, 3, N] so each coordinate is a [1, N] lane row; the chosen point's
-coordinates are extracted by masked reduction (no dynamic scalar loads);
-sample indices accumulate via masked vector writes (no scalar VMEM
-stores).
+All B clouds are processed in ONE kernel instance (grid=(1,)): every
+per-iteration op is [B, N]-wide, so the sequential loop's fixed overhead is
+amortized across the batch (v1 ran one cloud per grid step: 14 ms; this
+version: ~B times less loop overhead).
+
+Mosaic constraints shaping the code: points come in transposed [B*3, N]
+(coordinates as lane rows), the chosen points' coordinates are extracted
+by masked reduction (no dynamic scalar loads), and sample indices
+accumulate via masked vector writes (no scalar VMEM stores).
 """
 
 from __future__ import annotations
@@ -24,51 +28,63 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fps_kernel(pts_ref, idx_ref, mind_ref, *, m):
-    px = pts_ref[0, 0:1, :]  # [1, N]
-    py = pts_ref[0, 1:2, :]
-    pz = pts_ref[0, 2:3, :]
-    n = px.shape[1]
+def _fps_kernel(pts_ref, idx_ref, mind_ref, idxbuf_ref, *, m, b):
+    # pts_ref: [3*B, N], coordinate-major: rows [0,B) = x of every cloud,
+    # [B,2B) = y, [2B,3B) = z — contiguous sublane slices (Mosaic does not
+    # support strided sublane reads)
+    n = pts_ref.shape[1]
+    px = pts_ref[0:b, :]  # [B, N]
+    py = pts_ref[b:2 * b, :]
+    pz = pts_ref[2 * b:3 * b, :]
 
-    point_lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    point_lane = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
 
-    mind_ref[:] = jnp.full((1, n), jnp.inf, jnp.float32)
-    idx_ref[0] = jnp.zeros((1, m), jnp.int32)  # seed = index 0 at slot 0
+    mind_ref[:] = jnp.full((b, n), jnp.inf, jnp.float32)
+    idxbuf_ref[:] = jnp.zeros((b, m), jnp.int32)  # seed = index 0 at slot 0
 
     def body(j, last):
-        sel = point_lane == last
-        lx = jnp.sum(jnp.where(sel, px, 0.0))
-        ly = jnp.sum(jnp.where(sel, py, 0.0))
-        lz = jnp.sum(jnp.where(sel, pz, 0.0))
-        d = (px - lx) ** 2 + (py - ly) ** 2 + (pz - lz) ** 2  # [1, N]
+        sel = point_lane == last[:, None]  # [B, N]
+        lx = jnp.sum(jnp.where(sel, px, 0.0), axis=1)  # [B]
+        ly = jnp.sum(jnp.where(sel, py, 0.0), axis=1)
+        lz = jnp.sum(jnp.where(sel, pz, 0.0), axis=1)
+        d = (
+            (px - lx[:, None]) ** 2
+            + (py - ly[:, None]) ** 2
+            + (pz - lz[:, None]) ** 2
+        )
         mind = jnp.minimum(mind_ref[:], d)
         mind_ref[:] = mind
-        nxt = jnp.argmax(mind[0]).astype(jnp.int32)
-        idx_ref[0] = jnp.where(out_lane == j, nxt, idx_ref[0])
+        nxt = jnp.argmax(mind, axis=1).astype(jnp.int32)  # [B]
+        idxbuf_ref[:] = jnp.where(out_lane == j, nxt[:, None], idxbuf_ref[:])
         return nxt
 
-    jax.lax.fori_loop(1, m, body, jnp.int32(0))
+    jax.lax.fori_loop(1, m, body, jnp.zeros((b,), jnp.int32))
+    idx_ref[:] = idxbuf_ref[:]
 
 
 def fps_pallas(points, npoint, interpret=False):
     """points [B, N, 3] float32 -> [B, npoint] int32 FPS indices."""
     B, N, _ = points.shape
-    pts_t = jnp.transpose(points.astype(jnp.float32), (0, 2, 1))  # [B, 3, N]
-    kernel = functools.partial(_fps_kernel, m=npoint)
-    # output laid out [B, 1, npoint] so the block's trailing dims equal the
-    # array dims (Mosaic block-shape constraint); squeezed on return.
+    # [3, B, N] -> [3B, N]: coordinate-major rows
+    pts_t = jnp.transpose(points.astype(jnp.float32), (2, 0, 1)).reshape(
+        3 * B, N
+    )
+    kernel = functools.partial(_fps_kernel, m=npoint, b=B)
     idx = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0),
+            pl.BlockSpec((3 * B, N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, npoint), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((B, npoint), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((B, N), jnp.float32),
+            pltpu.VMEM((B, npoint), jnp.int32),
+        ],
         interpret=interpret,
     )(pts_t)
-    return idx[:, 0]
+    return idx

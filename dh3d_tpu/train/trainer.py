@@ -185,7 +185,10 @@ def smart_init(init_params, loaded_params):
     loaded params into freshly initialized ones wherever path AND shape
     match; new variables keep their fresh init — this is how the 3-stage
     curriculum hands off (local -> +detector -> global)."""
-    init_params = flax.core.unfreeze(init_params)
+    # keep plain dicts throughout — the optimizer state was built against
+    # the plain-dict params treedef, and flax no longer requires FrozenDict
+    init_params = jax.tree_util.tree_map(lambda x: x,
+                                         flax.core.unfreeze(init_params))
     loaded_params = flax.core.unfreeze(loaded_params)
     n_loaded = [0]
 
@@ -193,15 +196,16 @@ def smart_init(init_params, loaded_params):
         for k, v in src.items():
             if k not in dst:
                 continue
-            if isinstance(v, dict) and isinstance(dst[k], dict):
-                merge(dst[k], v)
+            if isinstance(v, (dict, flax.core.FrozenDict)) and \
+                    isinstance(dst[k], dict):
+                merge(dst[k], dict(v))
             elif hasattr(v, "shape") and hasattr(dst[k], "shape"):
                 if v.shape == dst[k].shape:
                     dst[k] = v
                     n_loaded[0] += 1
 
     merge(init_params, loaded_params)
-    return flax.core.freeze(init_params), n_loaded[0]
+    return init_params, n_loaded[0]
 
 
 # ------------------------- checkpointing (orbax) -------------------------
