@@ -165,3 +165,17 @@ def test_checkpoint_exact_resume(rng, tmp_path):
     np.testing.assert_allclose(
         float(m1["total_cost"]), float(m2["total_cost"]), rtol=0, atol=0
     )
+
+
+def test_sharded_knn_matches_single_device(rng):
+    """Point-axis-sharded knn over the 8-device mesh == single-device knn."""
+    import jax.numpy as jnp
+    from dh3d_tpu import ops
+    from dh3d_tpu.parallel.sharded_knn import knn_sharded
+
+    pts = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 10)
+    mesh = data_parallel_mesh(8)
+    idx_s, d_s = knn_sharded(pts, 8, mesh)
+    idx_1, d_1 = ops.knn_bruteforce(pts, 8)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_1))
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_1), atol=1e-5)
