@@ -50,7 +50,8 @@ class FlexConvDilate(nn.Module):
             points_s, feat_s = xyz, feat
 
         if knn_indices is None:
-            knn_indices, _ = ops.knn_bruteforce(points_s, self.knn)
+            knn_indices, _ = ops.knn_bruteforce(points_s, self.knn,
+                                                mode="fast")
 
         x = feat_s
         for i, d in enumerate(self.outdims):

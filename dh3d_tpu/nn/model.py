@@ -54,7 +54,8 @@ class DH3D(nn.Module):
         dt = None if compute_dtype == jnp.float32 else compute_dtype
 
         if knn_inds is None:
-            knn_inds, _ = ops.knn_bruteforce(points, cfg.knn_num)
+            knn_inds, _ = ops.knn_bruteforce(points, cfg.knn_num,
+                                             mode="fast")
 
         outs = {"xyz": points, "knn_indices": knn_inds}
 

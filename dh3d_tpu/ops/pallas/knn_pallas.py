@@ -31,6 +31,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _knn_kernel_packed(q_ref, keys_ref, idx_ref, dist_ref, *, k, idx_bits):
+    """Fast variant: value and index packed into one int32 key so each
+    extraction is a single min-reduction.  Positive-float bits are
+    order-preserving, so clearing the low `idx_bits` mantissa bits and
+    packing the lane index there keeps ordering except for distances equal
+    to within ~2^-(23-idx_bits) relative (ties then break to the lowest
+    index, like the exact kernel).  Distances come back truncated — use
+    where only neighbor INDICES matter (the DH3D graph's knn calls)."""
+    tq = q_ref.shape[2]
+    n = keys_ref.shape[2]
+
+    d2 = jnp.zeros((tq, n), jnp.float32)
+    for d in range(3):
+        qcol = q_ref[0, d, :][:, None]
+        krow = keys_ref[0, d, :][None, :]
+        diff = qcol - krow
+        d2 = d2 + diff * diff
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
+    mask = jnp.int32(~((1 << idx_bits) - 1))
+    bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
+    keys = jax.lax.bitwise_or(jax.lax.bitwise_and(bits, mask), lanes)
+
+    idxs, dists = [], []
+    for _ in range(k):
+        mk = jnp.min(keys, axis=1)  # one reduction gives value AND index
+        amin = jax.lax.bitwise_and(mk, jnp.int32((1 << idx_bits) - 1))
+        val = jax.lax.bitcast_convert_type(
+            jax.lax.bitwise_and(mk, mask), jnp.float32
+        )
+        idxs.append(amin)
+        dists.append(val)
+        keys = jnp.where(keys == mk[:, None], jnp.int32(0x7FFFFFFF), keys)
+
+    idx_ref[0] = jnp.stack(idxs, axis=1)
+    dist_ref[0] = jnp.stack(dists, axis=1)
+
+
 def _knn_kernel(q_ref, keys_ref, idx_ref, dist_ref, *, k):
     # transposed layout: q_ref [1, 3, TQ], keys_ref [1, 3, N] — coordinates
     # as lane rows, so nothing pads a 3-wide lane dim to 128 (VMEM waste)
@@ -61,7 +99,7 @@ def _knn_kernel(q_ref, keys_ref, idx_ref, dist_ref, *, k):
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
 
 
-def knn_pallas(query, keys, k, tile_q=256, interpret=False):
+def knn_pallas(query, keys, k, tile_q=256, interpret=False, packed=False):
     """Exact kNN of `keys` for each `query` point (cross- or self-cloud).
 
     query: [B, M, 3] float32; keys: [B, N, 3] float32.
@@ -90,14 +128,16 @@ def knn_pallas(query, keys, k, tile_q=256, interpret=False):
         query = jnp.pad(query, ((0, 0), (0, m_pad), (0, 0)))
     Mp = M + m_pad
 
-    idx, d2 = _knn_pallas_call(query, keys, k, tile_q, interpret)
+    idx, d2 = _knn_pallas_call(query, keys, k, tile_q, interpret, packed)
     if m_pad:
         idx, d2 = idx[:, :M], d2[:, :M]
     return idx, d2
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_q", "interpret"))
-def _knn_pallas_call(query, keys, k, tile_q, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_q", "interpret", "packed")
+)
+def _knn_pallas_call(query, keys, k, tile_q, interpret, packed=False):
     B, M, _ = query.shape
     N = keys.shape[1]
     grid = (B, M // tile_q)
@@ -105,7 +145,12 @@ def _knn_pallas_call(query, keys, k, tile_q, interpret):
     q_t = jnp.transpose(query, (0, 2, 1))  # [B, 3, M]
     keys_t = jnp.transpose(keys, (0, 2, 1))  # [B, 3, N]
 
-    kernel = functools.partial(_knn_kernel, k=k)
+    if packed:
+        idx_bits = max(13, (N - 1).bit_length())
+        kernel = functools.partial(_knn_kernel_packed, k=k,
+                                   idx_bits=idx_bits)
+    else:
+        kernel = functools.partial(_knn_kernel, k=k)
     idx, d2 = pl.pallas_call(
         kernel,
         grid=grid,
