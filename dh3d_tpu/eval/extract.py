@@ -13,7 +13,7 @@ att = 1 - res[:, -1] (`localdesc_extract.py:94`).
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional
+from typing import Iterable
 
 import numpy as np
 

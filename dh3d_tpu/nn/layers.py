@@ -17,7 +17,7 @@ over a mesh — a TPU-native upgrade the single-GPU reference could not have.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -126,7 +126,6 @@ def knn_pallas(query, keys, k, tile_q=256, interpret=False, packed=False):
     m_pad = (-M) % tile_q
     if m_pad:
         query = jnp.pad(query, ((0, 0), (0, m_pad), (0, 0)))
-    Mp = M + m_pad
 
     idx, d2 = _knn_pallas_call(query, keys, k, tile_q, interpret, packed)
     if m_pad:

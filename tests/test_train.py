@@ -179,3 +179,40 @@ def test_sharded_knn_matches_single_device(rng):
     idx_1, d_1 = ops.knn_bruteforce(pts, 8)
     np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_1))
     np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_1), atol=1e-5)
+
+
+def test_global_config_dp_step(rng):
+    """Global (quadruplet) training step over the 8-device mesh: 16 clouds
+    (batch 2 x [q+1pos+5neg+otherneg]) sharded on 'data'."""
+    cfg = cfglib.get_config("global_config")
+    cfg.num_points = N
+    cfg.batch_size = 2
+    cfg.num_pos = 1
+    cfg.num_neg = 5
+    cfg.sampled_kpnum = -1
+    cfg.input_R = False
+    total = cfg.batch_size * (1 + cfg.num_pos + cfg.num_neg + 1)  # 16
+    batch = {"points": jnp.asarray(
+        rng.randn(total, N, 3).astype(np.float32) * 5)}
+    mesh = data_parallel_mesh(8)
+    with jax.sharding.set_mesh(mesh):
+        state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+        state = replicate(mesh, state)
+        sharded = shard_batch(mesh, batch)
+        step = trainlib.make_train_step(cfg)
+        s1, m1 = step(state, sharded)
+        assert np.isfinite(float(m1["total_cost"]))
+        # frozen trunks stay frozen under DP too
+        before = jax.device_get(state.params["local_backbone"])
+        after = jax.device_get(s1.params["local_backbone"])
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(after)):
+            np.testing.assert_array_equal(a, b)
+        # global head DID train
+        gb = jax.device_get(state.params["global_assemble"])
+        ga = jax.device_get(s1.params["global_assemble"])
+        assert any(
+            not np.array_equal(a, b)
+            for a, b in zip(jax.tree_util.tree_leaves(gb),
+                            jax.tree_util.tree_leaves(ga))
+        )
