@@ -10,7 +10,6 @@ data-parallel-friendly layout for a TPU mesh.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

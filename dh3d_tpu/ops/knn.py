@@ -6,10 +6,14 @@ cloud, the K nearest points of the *same* cloud by Euclidean distance,
 indices+distances sorted ascending; neighbor k=0 is the point itself
 (distance 0).  The reference GPU kernel caps N at 8192
 (`user_ops/kernels/knn_bruteforce_kernel_gpu.cu.cc:213-221`), forcing a host
-(sklearn) fallback for larger clouds (`core/model.py:38,84-96`).  This
-implementation has no such cap: the [N, N] distance matrix is never fully
-materialized — queries are processed in chunks via `lax.scan`, each chunk
-doing one MXU matmul + top_k.
+(sklearn) fallback for larger clouds (`core/model.py:38,84-96`).  No such
+cap here: the [N, N] distance matrix is never fully materialized.
+
+Two backends behind one API:
+  - TPU: the Pallas streaming-min kernel (ops/pallas/knn_pallas.py), exact
+    or packed-fast mode;
+  - elsewhere: chunked XLA — queries processed in `lax.scan` chunks, each
+    one MXU matmul + top_k.
 """
 
 from __future__ import annotations

@@ -17,7 +17,6 @@ trunks (the model handles the latter); orbax for checkpoints.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import flax
