@@ -90,7 +90,7 @@ def local_detection_loss_nn(outs, ar_th=0.3, det_k=16, ar_nn_k=5, pos_r=0.3,
     feat_s0, feat_s1 = jnp.split(outs["feat_sampled"], 2, axis=0)
     rot = outs["R"]
 
-    knn1, _ = ops.knn_bruteforce(xyz1, det_k)  # [B,N,det_k]
+    knn1, _ = ops.knn_bruteforce(xyz1, det_k, mode="fast")  # [B,N,det_k]
 
     xyz0_warp = jnp.einsum("bmd,bde->bme", xyz_s0, rot, precision="highest")
 

@@ -132,10 +132,24 @@ def init_state(cfg, rng, sample_batch) -> TrainState:
 
 
 def loss_and_updates(params, batch_stats, batch, cfg, model):
+    points = batch["points"]
+    if cfg.augment_on_device and "aug_key" in batch:
+        # TPU-native augmentation: the reference jitters/rotates per cloud
+        # on the host (`core/datasets.py:122-124`); here it runs inside the
+        # jitted step.  Only valid when clouds are independent (global
+        # training) — the local self-pair correspondence warp R is built
+        # before augmentation, so input_R configs keep host augmentation.
+        from dh3d_tpu.data.augment import jax_augment
+
+        keys = jax.random.split(batch["aug_key"], points.shape[0])
+        points = jax.vmap(
+            lambda k, pc: jax_augment(k, pc, tuple(cfg.data_aug))
+        )(keys, points)
+
     variables = {"params": params, "batch_stats": batch_stats}
     outs, mutated = model.apply(
         variables,
-        batch["points"],
+        points,
         sample_inds=batch.get("sample_inds"),
         train=True,
         mutable=["batch_stats"],

@@ -216,3 +216,29 @@ def test_global_config_dp_step(rng):
             for a, b in zip(jax.tree_util.tree_leaves(gb),
                             jax.tree_util.tree_leaves(ga))
         )
+
+
+def test_on_device_augmentation_global(rng):
+    """augment_on_device applies jax augmentations inside the jitted step
+    (global config; clouds independent)."""
+    cfg = cfglib.get_config("global_config")
+    cfg.num_points = N
+    cfg.batch_size = 1
+    cfg.num_pos = 1
+    cfg.num_neg = 2
+    cfg.sampled_kpnum = -1
+    cfg.input_R = False
+    cfg.augment_on_device = True
+    total = cfg.batch_size * (1 + cfg.num_pos + cfg.num_neg + 1)
+    batch = {
+        "points": jnp.asarray(rng.randn(total, N, 3).astype(np.float32) * 5),
+        "aug_key": jax.random.PRNGKey(3),
+    }
+    state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step = trainlib.make_train_step(cfg)
+    s1, m1 = step(state, batch)
+    assert np.isfinite(float(m1["total_cost"]))
+    # different aug key -> different loss (augmentation actually applied)
+    batch2 = dict(batch, aug_key=jax.random.PRNGKey(4))
+    _, m2 = step(state, batch2)
+    assert float(m1["total_cost"]) != float(m2["total_cost"])
