@@ -121,3 +121,14 @@ class FarthestSampler:
             idx[i] = np.argmax(dist)
             dist = np.minimum(dist, np.sum((pts - pts[idx[i]]) ** 2, axis=1))
         return idx
+
+
+def restore_scale_pcd(pcd, knn=3):
+    """Rescale a cloud so the mean k-NN spacing is 0.2 m — the DSO eval
+    normalization (`core/utils.py:156-162`)."""
+    from scipy.spatial import cKDTree
+
+    pts = np.asarray(pcd, np.float32)
+    d, _ = cKDTree(pts[:, :3]).query(pts[:, :3], k=knn)
+    scale = 0.2 / np.mean(d)
+    return pts * scale

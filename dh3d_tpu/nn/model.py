@@ -78,6 +78,7 @@ class DH3D(nn.Module):
         # ---- detector head (`core/model.py:184-188`)
         if cfg.detection:
             det_att = backbones.DetectionBlock(
+                use_softplus=bool(cfg.use_softplus),
                 use_running_average=ura or bool(cfg.freezedetection),
                 bn_axis_name=axn,
                 dtype=dt,

@@ -123,3 +123,35 @@ def test_missing_sample_inds_raises():
     pts = jnp.zeros((2, N, 3))
     with pytest.raises(ValueError, match="sample_inds"):
         model.init(jax.random.PRNGKey(0), pts, train=False)
+
+
+def test_softplus_detection_variant():
+    cfg = tiny(cfglib.get_config("detection_config"))
+    cfg.use_softplus = True
+    outs, _, _ = init_and_run(cfg, btotal=2, with_kp=True)
+    att = np.asarray(outs["attention"])
+    assert (att >= 0).all()
+    assert att.max() > 1e-6  # softplus is unbounded above, nonneg
+
+
+def test_global_conv1d_backbone_variant():
+    """global_before_assemble_conv1d (`core/backbones.py:189-196`)."""
+    cfg = tiny(cfglib.get_config("global_config"))
+    cfg.global_backbone = "global_before_assemble_conv1d"
+    outs, _, _ = init_and_run(cfg, btotal=2)
+    assert outs["global_desc"].shape == (2, 256)
+
+
+def test_global_subsample_path():
+    """`core/model.py:119-121`: optional FPS subsample before aggregation."""
+    cfg = tiny(cfglib.get_config("global_config"))
+    cfg.global_subsample = 16
+    outs, _, _ = init_and_run(cfg, btotal=2)
+    assert outs["global_desc"].shape == (2, 256)
+
+
+def test_concat_xyz_path():
+    cfg = tiny(cfglib.get_config("global_config"))
+    cfg.concat_xyz = True
+    outs, _, _ = init_and_run(cfg, btotal=2)
+    assert outs["global_desc"].shape == (2, 256)
