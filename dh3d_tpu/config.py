@@ -66,6 +66,8 @@ def basic_config():
         num_devices=1,          # data-parallel mesh size
         compute_dtype="float32",  # 'bfloat16' for the fast path
         sync_batchnorm=False,
+        augment_on_device=False,  # jitted augmentation (global training)
+        remat=False,              # rematerialize the backbone in backward
     )
 
 

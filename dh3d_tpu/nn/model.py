@@ -61,7 +61,11 @@ class DH3D(nn.Module):
         # ---- local backbone (`core/model.py:99-108,176`)
         # points stay f32: all geometry (knn/FPS/three_nn/deltas) needs full
         # precision; layers cast features to the compute dtype internally
-        newpoints, localdesc = backbones.BackboneLocalDilate(
+        backbone_cls = backbones.BackboneLocalDilate
+        if cfg.remat:
+            # trade recompute for activation memory in the backward pass
+            backbone_cls = nn.remat(backbone_cls)
+        newpoints, localdesc = backbone_cls(
             featdim=cfg.featdim,
             dilate2=cfg.dilate or 8,
             use_running_average=ura or bool(cfg.freezebackbone),

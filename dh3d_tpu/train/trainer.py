@@ -17,6 +17,7 @@ trunks (the model handles the latter); orbax for checkpoints.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional
 
 import flax
@@ -160,12 +161,17 @@ def loss_and_updates(params, batch_stats, batch, cfg, model):
     return total, (metrics, mutated["batch_stats"])
 
 
-def make_train_step(cfg, model=None):
-    """Build the jitted train step.  Call with (state, batch)."""
+def make_train_step(cfg, model=None, donate=False):
+    """Build the jitted train step.  Call with (state, batch).
+
+    donate=True donates the previous state's buffers (params/opt-state
+    update in place on device instead of copying) — use in production
+    loops; the old state object becomes invalid after the call.
+    """
     model = model or DH3D(cfg)
     cfg = dotdict(dict(cfg))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         grad_fn = jax.value_and_grad(loss_and_updates, has_aux=True)
         (loss, (metrics, new_bs)), grads = grad_fn(

@@ -155,3 +155,20 @@ def test_concat_xyz_path():
     cfg.concat_xyz = True
     outs, _, _ = init_and_run(cfg, btotal=2)
     assert outs["global_desc"].shape == (2, 256)
+
+
+def test_remat_backbone_matches():
+    """cfg.remat wraps the backbone in nn.remat — identical outputs."""
+    cfg = tiny(cfglib.get_config("basic_config"))
+    cfg.sampled_kpnum = -1
+    outs1, variables, _ = init_and_run(cfg, btotal=2)
+    cfg2 = tiny(cfglib.get_config("basic_config"))
+    cfg2.sampled_kpnum = -1
+    cfg2.remat = True
+    model2 = DH3D(cfg2)
+    pts = jnp.asarray(
+        np.random.RandomState(0).randn(2, N, 3).astype(np.float32) * 10)
+    outs2 = model2.apply(variables, pts, train=False)
+    np.testing.assert_allclose(
+        np.asarray(outs1["local_desc"]), np.asarray(outs2["local_desc"]),
+        atol=1e-6)

@@ -145,7 +145,7 @@ def main():
             print(f"warm start: restored {n} tensors from {args.load}")
         state = replicate(mesh, state)
 
-        step_fn = trainlib.make_train_step(cfg)
+        step_fn = trainlib.make_train_step(cfg, donate=True)
         t0 = time.time()
         start = int(state.step)
         for i in range(start, start + args.steps):
