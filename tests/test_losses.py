@@ -165,3 +165,29 @@ def test_compute_total_loss_dispatch(rng):
     np.testing.assert_allclose(float(metrics["globaldesc_loss"]), 1.8, atol=1e-5)
     np.testing.assert_allclose(float(metrics["wd_cost"]), 0.3, atol=1e-6)
     np.testing.assert_allclose(float(total), 2.1, atol=1e-5)
+
+
+def test_detection_loss_no_hardest_neg(rng):
+    """use_hardest_neg=False branch (`core/losses.py:86`)."""
+    B, Nn, M, D = 1, 32, 4, 8
+    xyz = rng.randn(2 * B, Nn, 3).astype(np.float32)
+    feat = rng.randn(2 * B, Nn, D).astype(np.float32)
+    s_ind = np.stack([rng.choice(Nn, M, replace=False)
+                      for _ in range(2 * B)]).astype(np.int32)
+    xyz_s = np.stack([xyz[i][s_ind[i]] for i in range(2 * B)])
+    featn = feat / np.linalg.norm(feat, axis=-1, keepdims=True)
+    feat_s = np.stack([featn[i][s_ind[i]] for i in range(2 * B)])
+    outs = {
+        "xyz": jnp.asarray(xyz), "feat": jnp.asarray(feat),
+        "sample_nodes_concat": jnp.asarray(s_ind),
+        "att_sampled": jnp.asarray(rng.rand(2 * B, M).astype(np.float32)),
+        "xyz_sampled": jnp.asarray(xyz_s),
+        "feat_sampled": jnp.asarray(feat_s),
+        "R": jnp.asarray(np.eye(3, dtype=np.float32)[None]),
+    }
+    loss, aux = losses.local_detection_loss_nn(
+        outs, ar_th=0.4, det_k=6, ar_nn_k=5, pos_r=0.5,
+        use_hardest_neg=False,
+    )
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(aux["mean_ar"]) <= 1.0
