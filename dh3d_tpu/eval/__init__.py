@@ -15,3 +15,8 @@ from dh3d_tpu.eval.retrieval import (  # noqa: F401
     load_sets_from_dir,
     retrieve,
 )
+from dh3d_tpu.eval.repeatability import (  # noqa: F401
+    keypoint_repeatability,
+    repeatability_curve,
+    top_k_keypoints,
+)

@@ -178,3 +178,41 @@ def test_extract_and_retrieve_roundtrip(tmp_path, rng):
         d = np.fromfile(f, np.float32)
         assert d.shape == (256,)
         np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-3)
+
+
+def test_keypoint_repeatability_metric(rng):
+    from dh3d_tpu.eval import keypoint_repeatability
+
+    kp1 = rng.randn(50, 3) * 10
+    ang = 0.4
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    t = np.array([1.0, 2.0, 0.0])
+    # kp2 = warped kp1 (perfect repeatability), plus distractors
+    kp2 = np.concatenate([kp1 @ R.T + t, rng.randn(20, 3) * 10 + 100])
+    assert keypoint_repeatability(kp1, kp2, R, t, radius=0.1) == 1.0
+    # half of kp1 displaced far -> 0.5
+    kp1_bad = kp1.copy()
+    kp1_bad[:25] += 1000
+    r = keypoint_repeatability(kp1_bad, kp2, R, t, radius=0.1)
+    assert abs(r - 0.5) < 1e-9
+    # identity default
+    assert keypoint_repeatability(kp1, kp1.copy(), radius=0.1) == 1.0
+
+
+def test_repeatability_curve_synthetic(rng):
+    from dh3d_tpu.eval import repeatability_curve
+
+    # dense enough that NMS noise removal (8th-NN < 2 m) keeps points
+    clouds = [rng.randn(300, 3).astype(np.float32) * 2 for _ in range(2)]
+
+    def extract(cloud):
+        # fake detector: attention = distance from centroid (rotation
+        # invariant up to jitter) -> decent repeatability by construction
+        att = np.linalg.norm(cloud - cloud.mean(0), axis=1)
+        return cloud, att / att.max()
+
+    curve = repeatability_curve(extract, clouds, ks=(8, 32), radius=0.5)
+    assert set(curve) == {8, 32}
+    assert all(0.0 <= v <= 1.0 for v in curve.values())
+    assert curve[32] > 0.2  # invariant fake detector repeats
