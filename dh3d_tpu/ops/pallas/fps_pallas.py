@@ -64,27 +64,51 @@ def _fps_kernel(pts_ref, idx_ref, mind_ref, idxbuf_ref, *, m, b):
 
 
 def fps_pallas(points, npoint, interpret=False):
-    """points [B, N, 3] float32 -> [B, npoint] int32 FPS indices."""
+    """points [B, N, 3] float32 -> [B, npoint] int32 FPS indices.
+
+    Mosaic mis-legalizes sub-tile (smaller than 8x128) vectors, so every
+    dim is padded to tile multiples:
+      - N -> x128 with copies of point 0 (min-distance 0 from iteration 1
+        on, never the argmax while npoint <= true N);
+      - B -> x8 with copies of cloud 0 (rows sliced off);
+      - npoint -> x128 via extra loop iterations (FPS is prefix-consistent:
+        the first `npoint` samples are unchanged by sampling more).
+    """
+    points = points.astype(jnp.float32)
     B, N, _ = points.shape
-    # [3, B, N] -> [3B, N]: coordinate-major rows
-    pts_t = jnp.transpose(points.astype(jnp.float32), (2, 0, 1)).reshape(
-        3 * B, N
-    )
-    kernel = functools.partial(_fps_kernel, m=npoint, b=B)
+    # minimum 256 lanes: Mosaic mis-legalizes the argmax at exactly one
+    # 128-lane tile (f32->i32 materialization error, observed on v5e)
+    n_pad = (256 - N) if N < 256 else (-N) % 128
+    if n_pad:
+        points = jnp.concatenate(
+            [points,
+             jnp.broadcast_to(points[:, :1], (B, n_pad, 3))], axis=1
+        )
+        N = N + n_pad
+    b_pad = (-B) % 8
+    if b_pad:
+        points = jnp.concatenate(
+            [points, jnp.broadcast_to(points[:1], (b_pad, N, 3))], axis=0
+        )
+    Bp = B + b_pad
+    m_p = npoint + ((-npoint) % 128)
+    # [3, Bp, N] -> [3Bp, N]: coordinate-major rows
+    pts_t = jnp.transpose(points, (2, 0, 1)).reshape(3 * Bp, N)
+    kernel = functools.partial(_fps_kernel, m=m_p, b=Bp)
     idx = pl.pallas_call(
         kernel,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((3 * B, N), lambda i: (0, 0),
+            pl.BlockSpec((3 * Bp, N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, npoint), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((Bp, m_p), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Bp, m_p), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((B, N), jnp.float32),
-            pltpu.VMEM((B, npoint), jnp.int32),
+            pltpu.VMEM((Bp, N), jnp.float32),
+            pltpu.VMEM((Bp, m_p), jnp.int32),
         ],
         interpret=interpret,
     )(pts_t)
-    return idx
+    return idx[:B, :npoint]
