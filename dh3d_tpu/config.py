@@ -65,7 +65,13 @@ def basic_config():
         # TPU-native extras (greenfield; see SURVEY.md §2.3)
         num_devices=1,          # data-parallel mesh size
         compute_dtype="float32",  # 'bfloat16' for the fast path
-        sync_batchnorm=False,
+        # BN stats are global-batch (sync) for free under the global-view
+        # jit trainer; bn_axis_name is only for shard_map trainers that
+        # bind a named 'data' axis (see nn/model.py).
+        bn_axis_name=None,
+        # all-gather global descriptors across the mesh and mine hardest
+        # negatives over the global batch (north-star item; greenfield)
+        cross_device_mining=False,
         augment_on_device=False,  # jitted augmentation (global training)
         remat=False,              # rematerialize the backbone in backward
     )

@@ -72,6 +72,11 @@ class LocalTrainSelfPair:
 
         subset = self.rng.choice(pc1.shape[0], pc1.shape[0] // 2,
                                  replace=False)
+        # 1-NN correspondences are queried in the UNROTATED pc2
+        # (`core/datasets.py:148`: `tree = KDTree(pc2)`); indices are shared
+        # between pc2 and pc2_t, and the losses warp anchors by R before
+        # comparing, so querying the rotated copy would silently break
+        # positives for large rotations.
         if native.available():
             # native hot loop: C++ FPS + grid 1-NN (vs python FPS + KD-tree)
             node_sub = native.fps(
@@ -79,7 +84,7 @@ class LocalTrainSelfPair:
                 seed_idx=self.rng.randint(len(subset)),
             )
             anc_inds = subset[node_sub]
-            pos_inds = native.nn1(pc1[anc_inds], pc2_t)
+            pos_inds = native.nn1(pc1[anc_inds], pc2)
         else:
             from sklearn.neighbors import KDTree
 
@@ -87,7 +92,7 @@ class LocalTrainSelfPair:
                 pc1[subset], self.sample_nodes, self.rng
             )
             anc_inds = subset[node_sub]
-            _, pos_inds = KDTree(pc2_t).query(pc1[anc_inds], k=1)
+            _, pos_inds = KDTree(pc2).query(pc1[anc_inds], k=1)
         return pc1, pc2_t, rot, anc_inds.astype(np.int32), \
             np.asarray(pos_inds).flatten().astype(np.int32)
 

@@ -1,5 +1,9 @@
 from dh3d_tpu.eval.extract import extract_global, extract_local  # noqa: F401
-from dh3d_tpu.eval.nms import device_nms, single_nms  # noqa: F401
+from dh3d_tpu.eval.nms import (  # noqa: F401
+    device_nms,
+    nms_keypoint_indices,
+    single_nms,
+)
 from dh3d_tpu.eval.registration import (  # noqa: F401
     RansacResult,
     match_descriptors_mutual,

@@ -18,7 +18,7 @@ from typing import Iterable
 import numpy as np
 
 from dh3d_tpu.data.io import write_to_bin
-from dh3d_tpu.eval.nms import single_nms
+from dh3d_tpu.eval.nms import nms_keypoint_indices
 
 
 def make_forward(cfg, variables, model=None):
@@ -46,7 +46,8 @@ def local_result_rows(outs, with_attention):
 def extract_local(cfg, variables, dataset: Iterable, save_dir,
                   batch_size=1, perform_nms=False, save_all=False,
                   nms_rad=0.5, nms_min_ratio=0.01, nms_max_kp=512,
-                  model=None):
+                  model=None, nms_backend="device",
+                  nms_parity_check=False):
     """Per-cloud local descriptor extraction
     (`localdesc_extract.py:106-138` perform_pred + pred_saveres).
 
@@ -87,10 +88,12 @@ def extract_local(cfg, variables, dataset: Iterable, save_dir,
             elif perform_nms:
                 xyz = res[:, 0:3]
                 attention = 1 - res[:, -1]  # reference inversion
-                _, max_idx = single_nms(
+                max_idx = nms_keypoint_indices(
                     xyz, attention, nms_radius=nms_rad,
                     min_response_ratio=nms_min_ratio,
                     max_keypoints=nms_max_kp,
+                    backend=nms_backend,
+                    parity_check=nms_parity_check,
                 )
                 write_to_bin(np.float32(res[max_idx, :]),
                              os.path.join(save_dir, f"{stem}_nms_res.bin"))

@@ -76,3 +76,35 @@ def device_nms(xyz, attention, nms_radius, min_response_ratio, max_keypoints,
     n_kp = int(jnp.sum(valid))
     order = jnp.where(valid, order, -1)
     return n_kp, np.asarray(order)
+
+
+def nms_keypoint_indices(xyz, attention, nms_radius, min_response_ratio,
+                         max_keypoints, remove_noise=True, backend="device",
+                         parity_check=False):
+    """Unified NMS entry point for the extraction drivers.
+
+    backend='device' (default) runs the TPU-native knn suppression;
+    'host' runs the sklearn reference-parity path.  `parity_check=True`
+    runs both and asserts they select the same keypoints (ties in float
+    attention aside) — used in tests and for one-off validation runs.
+
+    Returns a plain list of keypoint indices, descending attention.
+    """
+    if backend == "device":
+        _, order = device_nms(xyz, attention, nms_radius,
+                              min_response_ratio, max_keypoints,
+                              remove_noise=remove_noise)
+        idx = [int(i) for i in order if i >= 0]
+    elif backend == "host":
+        _, idx = single_nms(xyz, attention, nms_radius, min_response_ratio,
+                            max_keypoints, remove_noise=remove_noise)
+    else:
+        raise ValueError(f"unknown NMS backend '{backend}'")
+    if parity_check:
+        _, host_idx = single_nms(xyz, attention, nms_radius,
+                                 min_response_ratio, max_keypoints,
+                                 remove_noise=remove_noise)
+        assert list(idx) == list(host_idx), (
+            f"device/host NMS mismatch: {idx[:8]}... vs {host_idx[:8]}..."
+        )
+    return idx

@@ -106,6 +106,12 @@ def local_detection_loss_nn(outs, ar_th=0.3, det_k=16, ar_nn_k=5, pos_r=0.3,
         feat_dist_all = jnp.sqrt(pairwise_dist(feat_s0, feat_s1) + 1e-10)
         neg_dist = feat_dist_all + (1.0 - is_neg) * 100.0
         hardest = jnp.argmin(neg_dist, axis=2)  # [B,M]
+        # INTENTIONAL DIVERGENCE from the reference: `core/losses.py:94-98`
+        # gathers knn rows at the raw keypoint *slot* index (0..M-1), i.e.
+        # the neighborhood of an unrelated low-id cloud point — a reference
+        # bug.  We map keypoint id -> cloud point id via sample_ind1 first,
+        # so the gathered neighborhood is actually the hardest negative's.
+        # See PARITY.md "detection loss hardest-negative gather".
         hardest_kp = jnp.take_along_axis(
             sample_ind1, hardest, axis=1
         )  # keypoint id -> cloud point id
@@ -194,11 +200,92 @@ def lazy_quadruplet_loss(global_descs, batch_size, num_pos, num_neg,
     return total, {"triplet_loss": trip, "second_loss": second}
 
 
+def _global_neg_pool(neg, axis_name=None):
+    """Flatten all negative clouds in the batch into one pool [B*Nn, D].
+
+    With `axis_name` bound (shard_map trainer), the pool is all-gathered
+    across the mesh axis over ICI so every device mines against the full
+    global-batch pool.  Under the global-view jit trainer the input already
+    IS the global batch (XLA inserts the collectives), so axis_name stays
+    None.
+    """
+    d = neg.shape[-1]
+    pool = neg.reshape(-1, d)
+    if axis_name is not None:
+        pool = jax.lax.all_gather(pool, axis_name).reshape(-1, d)
+    return pool
+
+
+def batch_hard_triplet_loss(global_descs, batch_size, num_pos, num_neg,
+                            global_triplet_margin=0.5, axis_name=None,
+                            **unused):
+    """Batch-hard N-tuple mining (BASELINE.json north star; greenfield —
+    the reference's lazy losses mine only within the tuple,
+    `core/losses.py:147-170`).
+
+    Every query's negative pool is the union of ALL tuples' negative clouds
+    in the global batch; the hinge takes the hardest (max-violation) one.
+    Identical in expectation to lazy_triplet when B=1; strictly harder
+    otherwise.  Negatives of other tuples are valid negatives with high
+    probability (they were sampled outside their own query's non-negative
+    set, and Oxford submaps are sparse in UTM space) — the standard
+    batch-hard relaxation.
+    """
+    q, pos, neg, _ = _split_tuple(global_descs, batch_size, num_pos, num_neg,
+                                  other_neg=False)
+    pool = _global_neg_pool(neg, axis_name)  # [B*Nn(*mesh), D]
+    best_pos = best_pos_distance(q, pos)  # [B]
+    neg_d = jnp.sum((pool[None, :, :] - q) ** 2, axis=2)  # [B, pool]
+    hinge = jax.nn.relu(global_triplet_margin + best_pos[:, None] - neg_d)
+    loss = jnp.mean(jnp.max(hinge, axis=1))
+    return loss, {
+        "triplet_loss": loss,
+        "hardest_neg_dist": jnp.mean(jnp.min(neg_d, axis=1)),
+    }
+
+
+def batch_hard_quadruplet_loss(global_descs, batch_size, num_pos, num_neg,
+                               global_triplet_margin=0.5,
+                               global_quadruplet_margin=0.2, axis_name=None,
+                               **unused):
+    """Quadruplet variant of `batch_hard_triplet_loss`: second hinge
+    compares the global negative pool to each tuple's 'other negative'
+    (structure of `core/losses.py:173-200`, pool widened across the batch
+    and, with axis_name, across the mesh)."""
+    q, pos, neg, oneg = _split_tuple(global_descs, batch_size, num_pos,
+                                     num_neg, other_neg=True)
+    pool = _global_neg_pool(neg, axis_name)
+    best_pos = best_pos_distance(q, pos)
+    neg_d = jnp.sum((pool[None, :, :] - q) ** 2, axis=2)
+    hinge = jax.nn.relu(global_triplet_margin + best_pos[:, None] - neg_d)
+    trip = jnp.mean(jnp.max(hinge, axis=1))
+
+    neg_to_othneg = jnp.sum((pool[None, :, :] - oneg) ** 2, axis=2)
+    hinge2 = jax.nn.relu(
+        global_quadruplet_margin + best_pos[:, None] - neg_to_othneg
+    )
+    second = jnp.mean(jnp.max(hinge2, axis=1))
+    total = trip + second
+    return total, {
+        "triplet_loss": trip,
+        "second_loss": second,
+        "hardest_neg_dist": jnp.mean(jnp.min(neg_d, axis=1)),
+    }
+
+
 LOCAL_LOSSES = {"desc_local_loss": desc_local_loss}
 DETECTION_LOSSES = {"local_detection_loss_nn": local_detection_loss_nn}
 GLOBAL_LOSSES = {
     "lazy_triplet_loss": lazy_triplet_loss,
     "lazy_quadruplet_loss": lazy_quadruplet_loss,
+    "batch_hard_triplet_loss": batch_hard_triplet_loss,
+    "batch_hard_quadruplet_loss": batch_hard_quadruplet_loss,
+}
+# cfg.cross_device_mining upgrades the lazy losses to their batch-hard
+# global-pool twins (same tuple layout, widened negative pool)
+BATCH_HARD_UPGRADE = {
+    "lazy_triplet_loss": "batch_hard_triplet_loss",
+    "lazy_quadruplet_loss": "batch_hard_quadruplet_loss",
 }
 
 
@@ -212,13 +299,26 @@ def compute_total_loss(outs, cfg, params_l2=0.0):
     total = 0.0
     metrics = {}
 
+    def _default(v, d):
+        # NOT `v or d`: an explicitly configured 0.0 (zero-weight ablation)
+        # must stay 0.0; only the dotdict's silent-None falls back.
+        return d if v is None else v
+
     if cfg.extract_global:
-        gl, aux = GLOBAL_LOSSES[cfg.global_loss](
+        loss_name = cfg.global_loss
+        if cfg.cross_device_mining:
+            loss_name = BATCH_HARD_UPGRADE.get(loss_name, loss_name)
+        gl, aux = GLOBAL_LOSSES[loss_name](
             outs["global_desc"], cfg.batch_size, cfg.num_pos, cfg.num_neg,
-            global_triplet_margin=cfg.global_triplet_margin or 0.5,
-            global_quadruplet_margin=cfg.global_quadruplet_margin or 0.2,
+            global_triplet_margin=_default(cfg.global_triplet_margin, 0.5),
+            global_quadruplet_margin=_default(
+                cfg.global_quadruplet_margin, 0.2),
+            # only bound inside a shard_map trainer (same named axis as
+            # sync-BN); the global-view jit trainer already sees the
+            # mesh-wide batch, so no explicit collective is needed there
+            axis_name=cfg.bn_axis_name,
         )
-        gl = gl * (cfg.global_loss_weight or 1.0)
+        gl = gl * _default(cfg.global_loss_weight, 1.0)
         metrics["globaldesc_loss"] = gl
         metrics.update(aux)
         total += gl
@@ -228,7 +328,7 @@ def compute_total_loss(outs, cfg, params_l2=0.0):
             outs, pos_r=cfg.pos_r, search_r=cfg.search_r, margin=cfg.margin,
             neg_weight=cfg.neg_weight,
         )
-        ll = ll * (cfg.local_loss_weight or 1.0)
+        ll = ll * _default(cfg.local_loss_weight, 1.0)
         metrics["localdesc_loss"] = ll
         metrics.update(aux)
         total += ll
@@ -238,7 +338,7 @@ def compute_total_loss(outs, cfg, params_l2=0.0):
             outs, ar_th=cfg.ar_th, det_k=cfg.det_k, ar_nn_k=cfg.ar_nn_k,
             pos_r=cfg.pos_r,
         )
-        dl = dl * (cfg.det_loss_weight or 1.0)
+        dl = dl * _default(cfg.det_loss_weight, 1.0)
         metrics["det_loss_weighted"] = dl
         metrics.update(aux)
         total += dl

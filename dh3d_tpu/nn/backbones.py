@@ -246,7 +246,8 @@ class ContextGating(nn.Module):
         )
         gates = x @ w
         if self.add_batch_norm:
-            gates = BatchNorm(self.use_running_average,
+            # slim.batch_norm default decay 0.999 (`core/backbones.py:303-309`)
+            gates = BatchNorm(self.use_running_average, momentum=0.999,
                               axis_name=self.bn_axis_name,
                               name="gating_bn")(gates)
         else:
@@ -282,7 +283,8 @@ class NetVLAD(nn.Module):
                          precision="highest",
                          preferred_element_type=jnp.float32)
         if self.add_batch_norm:
-            act = BatchNorm(self.use_running_average,
+            # slim.batch_norm default decay 0.999 (`core/backbones.py:218-223`)
+            act = BatchNorm(self.use_running_average, momentum=0.999,
                             axis_name=self.bn_axis_name,
                             name="cluster_bn")(act)
         else:
@@ -314,7 +316,9 @@ class NetVLAD(nn.Module):
             (D * K, self.output_dim),
         )
         vlad = vlad @ hidden1
-        vlad = BatchNorm(self.use_running_average,
+        # tf.contrib.layers.batch_norm default decay 0.999
+        # (`core/backbones.py:275-279`)
+        vlad = BatchNorm(self.use_running_average, momentum=0.999,
                          axis_name=self.bn_axis_name, name="hidden_bn")(vlad)
         if self.gating:
             vlad = ContextGating(

@@ -215,24 +215,24 @@ class FlexConvTranspose(nn.Module):
 
 class SEBottleneck(nn.Module):
     """se_bottleneck (`core/backbones.py:33-42`): the non-residual variant
-    (no shortcut/relu)."""
+    (no shortcut/relu).
+
+    The squeeze convs are PLAIN conv + activation — no BatchNorm: the
+    reference passes `ac_func=tf.nn.relu`/`tf.nn.sigmoid` to
+    `feature_conv1d_1` (`core/backbones.py:37-38`), which *replaces* the
+    default BNReLU activation (`core/tf_utils.py:99,105`).  BN before the
+    sigmoid gate would re-center gates toward 0.5 regardless of input scale.
+    """
 
     ch_out: int
-    use_running_average: bool = True
+    use_running_average: bool = True  # unused (no BN); kept for API parity
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, pool_x):
-        s = Conv1x1(
-            self.ch_out // 4, act=nn.relu,
-            use_running_average=self.use_running_average,
-            bn_axis_name=self.bn_axis_name, name="f1",
-        )(pool_x)
-        s = Conv1x1(
-            self.ch_out, act=nn.sigmoid,
-            use_running_average=self.use_running_average,
-            bn_axis_name=self.bn_axis_name, name="f2",
-        )(s)
+        s = Conv1x1(self.ch_out // 4, bn=False, act=nn.relu,
+                    name="f1")(pool_x)
+        s = Conv1x1(self.ch_out, bn=False, act=nn.sigmoid, name="f2")(s)
         return x * s
 
 
@@ -242,23 +242,17 @@ class SEResBottleneck(nn.Module):
 
     Unlike classic SE there is NO global pooling — `pool_l` is the
     neighborhood-pooled feature map and the two 1x1 convs act per point.
+    The squeeze convs carry no BatchNorm (see `SEBottleneck`).
     """
 
     ch_out: int
-    use_running_average: bool = True
+    use_running_average: bool = True  # unused (no BN); kept for API parity
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, pool_x):
         shortcut = x
-        s = Conv1x1(
-            self.ch_out // 4, act=nn.relu,
-            use_running_average=self.use_running_average,
-            bn_axis_name=self.bn_axis_name, name="f1",
-        )(pool_x)
-        s = Conv1x1(
-            self.ch_out, act=nn.sigmoid,
-            use_running_average=self.use_running_average,
-            bn_axis_name=self.bn_axis_name, name="f2",
-        )(s)
+        s = Conv1x1(self.ch_out // 4, bn=False, act=nn.relu,
+                    name="f1")(pool_x)
+        s = Conv1x1(self.ch_out, bn=False, act=nn.sigmoid, name="f2")(s)
         return nn.relu(shortcut + x * s)

@@ -48,7 +48,15 @@ class DH3D(nn.Module):
         # (`core/configs.py:22-26`).
         cfg = dotdict(dict(self.config))
         ura = not train
-        axn = cfg.sync_batchnorm and "data" or None
+        # Sync-BN note: under the global-view jit trainer, BatchNorm batch
+        # stats are ALREADY computed over the global (mesh-wide) batch — XLA
+        # inserts the cross-device reductions — so there is nothing to opt
+        # into.  `bn_axis_name` (psum over a named axis) only applies inside
+        # a shard_map/pmap region where 'data' is bound; setting
+        # cfg.sync_batchnorm under plain jit would raise an unbound-axis
+        # error at trace time, so it is only honored when the caller binds
+        # the axis (cfg.bn_axis_name set explicitly by a shard_map trainer).
+        axn = cfg.bn_axis_name or None
         compute_dtype = jnp.dtype(cfg.compute_dtype or "float32")
         dt = None if compute_dtype == jnp.float32 else compute_dtype
 

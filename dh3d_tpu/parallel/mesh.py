@@ -41,13 +41,34 @@ def shard_batch(mesh: Mesh, batch):
     """Device-put a batch pytree: arrays whose leading axis divides the mesh
     are sharded on 'data'; the rest (e.g. the per-anchor R matrices, which
     have half the cloud count) are replicated — XLA re-shards them as needed
-    inside the jitted step."""
+    inside the jitted step.
+
+    A *whole batch* that cannot shard (no leaf's leading axis divisible by
+    the mesh) silently loses all DP speedup, so that case warns loudly:
+    pick batch sizes (x tuple fan-out) divisible by the mesh size.
+    """
+    import warnings
+
     n = mesh.shape["data"]
     sharded = shard_batch_spec(mesh)
     replicated = replicate_spec(mesh)
 
+    def divisible(x):
+        return x.ndim > 0 and x.shape[0] % n == 0
+
+    if n > 1 and not any(map(divisible, jax.tree_util.tree_leaves(batch))):
+        shapes = [tuple(x.shape)
+                  for x in jax.tree_util.tree_leaves(batch)]
+        warnings.warn(
+            f"shard_batch: no array in the batch has a leading axis "
+            f"divisible by the {n}-device mesh (shapes {shapes}); the whole "
+            f"batch is REPLICATED and every device does the full-batch "
+            f"work. Choose batch_size*tuple_size divisible by {n}.",
+            stacklevel=2,
+        )
+
     def put(x):
-        spec = sharded if (x.ndim > 0 and x.shape[0] % n == 0) else replicated
+        spec = sharded if divisible(x) else replicated
         return jax.device_put(x, spec)
 
     return jax.tree_util.tree_map(put, batch)

@@ -56,6 +56,8 @@ def main():
     p.add_argument("--num_points", type=int, default=4096)
     p.add_argument("--max_queries", type=int, default=10)
     p.add_argument("--nms_max_kp", type=int, default=256)
+    p.add_argument("--nms_backend", default="device",
+                   choices=["device", "host"])
     p.add_argument("--ransac_iters", type=int, default=500)
     args = p.parse_args()
 
@@ -63,8 +65,9 @@ def main():
 
     from dh3d_tpu.data import GlobalTestDataset
     from dh3d_tpu.data.io import get_sets_dict
-    from dh3d_tpu.eval import register_clouds, single_nms
+    from dh3d_tpu.eval import register_clouds
     from dh3d_tpu.eval.extract import make_forward
+    from dh3d_tpu.eval.nms import nms_keypoint_indices
 
     # ---- stage A: global descriptors for database + queries
     gcfg, gmodel, gvars = build_model(args.global_model, True,
@@ -110,9 +113,10 @@ def main():
             att = 1 - np.asarray(o["attention"])[0, :, 0]
         else:
             att = np.ones(len(cloud), np.float32)
-        _, idx = single_nms(cloud.astype(np.float64), att, nms_radius=0.5,
-                            min_response_ratio=0.01,
-                            max_keypoints=args.nms_max_kp)
+        idx = nms_keypoint_indices(cloud.astype(np.float64), att,
+                                   nms_radius=0.5, min_response_ratio=0.01,
+                                   max_keypoints=args.nms_max_kp,
+                                   backend=args.nms_backend)
         return cloud[idx], desc[idx]
 
     n_retrieved = n_registered = 0

@@ -216,3 +216,16 @@ def test_repeatability_curve_synthetic(rng):
     assert set(curve) == {8, 32}
     assert all(0.0 <= v <= 1.0 for v in curve.values())
     assert curve[32] > 0.2  # invariant fake detector repeats
+
+
+def test_nms_keypoint_indices_backends_agree(rng):
+    """Driver-level NMS entry: device backend (default in the extraction
+    drivers) selects the same keypoints as the sklearn host path, enforced
+    by its own parity_check."""
+    from dh3d_tpu.eval.nms import nms_keypoint_indices
+
+    xyz = rng.randn(150, 3).astype(np.float32) * 4
+    att = rng.rand(150).astype(np.float32)
+    idx = nms_keypoint_indices(xyz, att, 0.5, 0.01, 40,
+                               backend="device", parity_check=True)
+    assert len(idx) > 0

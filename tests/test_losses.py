@@ -191,3 +191,85 @@ def test_detection_loss_no_hardest_neg(rng):
     )
     assert np.isfinite(float(loss))
     assert 0.0 <= float(aux["mean_ar"]) <= 1.0
+
+
+# ---------------- batch-hard (cross-device) mining ----------------
+
+def _np_batch_hard_quadruplet(gd, B, P, Nn, m1, m2):
+    """Numpy oracle: hinge over the union of ALL tuples' negatives."""
+    d = gd.shape[-1]
+    q = gd[:B].reshape(B, 1, d)
+    pos = gd[B:B + B * P].reshape(B, P, d)
+    neg = gd[B + B * P:B + B * P + B * Nn].reshape(B, Nn, d)
+    oneg = gd[B + B * P + B * Nn:].reshape(B, 1, d)
+    pool = neg.reshape(B * Nn, d)
+    best_pos = np.min(np.sum((pos - q) ** 2, axis=2), axis=1)  # [B]
+    neg_d = np.sum((pool[None] - q) ** 2, axis=2)  # [B, B*Nn]
+    trip = np.mean(np.max(np.maximum(0, m1 + best_pos[:, None] - neg_d), 1))
+    n2o = np.sum((pool[None] - oneg) ** 2, axis=2)
+    second = np.mean(np.max(np.maximum(0, m2 + best_pos[:, None] - n2o), 1))
+    return trip + second
+
+
+def test_batch_hard_quadruplet_matches_numpy_oracle(rng):
+    B, P, Nn, D = 3, 2, 4, 8
+    gd = rng.randn(B + B * P + B * Nn + B, D).astype(np.float32)
+    loss, aux = losses.batch_hard_quadruplet_loss(
+        jnp.asarray(gd), batch_size=B, num_pos=P, num_neg=Nn,
+        global_triplet_margin=0.5, global_quadruplet_margin=0.2,
+    )
+    expect = _np_batch_hard_quadruplet(gd.astype(np.float64), B, P, Nn,
+                                       0.5, 0.2)
+    np.testing.assert_allclose(float(loss), expect, rtol=1e-5)
+
+
+def test_batch_hard_at_least_as_hard_as_lazy(rng):
+    """The global pool contains each tuple's own negatives, so the mined
+    triplet hinge can only be >= the lazy (within-tuple) one."""
+    B, P, Nn, D = 4, 2, 3, 16
+    gd = jnp.asarray(rng.randn(B + B * P + B * Nn, D).astype(np.float32))
+    lazy, _ = losses.lazy_triplet_loss(gd, B, P, Nn,
+                                       global_triplet_margin=0.5)
+    hard, _ = losses.batch_hard_triplet_loss(gd, B, P, Nn,
+                                             global_triplet_margin=0.5)
+    assert float(hard) >= float(lazy) - 1e-6
+
+
+def test_batch_hard_all_gather_matches_single_device(rng):
+    """shard_map path: each of 8 devices holds ONE complete tuple and mines
+    against the lax.all_gather'ed global pool — the mean of per-device
+    losses must equal the single-device loss over the concatenated batch."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P_
+    from jax.experimental.shard_map import shard_map
+
+    from dh3d_tpu.parallel import data_parallel_mesh
+
+    ndev, P, Nn, D = 8, 2, 3, 16
+    T = 1 + P + Nn + 1  # one tuple's cloud count
+    per_dev = rng.randn(ndev, T, D).astype(np.float32)
+
+    mesh = data_parallel_mesh(ndev)
+
+    @partial(shard_map, mesh=mesh, in_specs=P_("data"),
+             out_specs=P_("data"))
+    def mined(tuples):  # [1, T, D] per device
+        loss, _ = losses.batch_hard_quadruplet_loss(
+            tuples[0], batch_size=1, num_pos=P, num_neg=Nn,
+            global_triplet_margin=0.5, global_quadruplet_margin=0.2,
+            axis_name="data",
+        )
+        return loss[None]
+
+    per_device_losses = np.asarray(jax.jit(mined)(jnp.asarray(per_dev)))
+
+    # single-device oracle: rearrange into the global tuple-concat layout
+    q = per_dev[:, 0]
+    pos = per_dev[:, 1:1 + P].reshape(-1, D)
+    neg = per_dev[:, 1 + P:1 + P + Nn].reshape(-1, D)
+    oneg = per_dev[:, -1]
+    gd = np.concatenate([q, pos, neg, oneg])
+    expect = _np_batch_hard_quadruplet(gd.astype(np.float64), ndev, P, Nn,
+                                       0.5, 0.2)
+    np.testing.assert_allclose(per_device_losses.mean(), expect, rtol=1e-5)

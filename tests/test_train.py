@@ -242,3 +242,35 @@ def test_on_device_augmentation_global(rng):
     batch2 = dict(batch, aug_key=jax.random.PRNGKey(4))
     _, m2 = step(state, batch2)
     assert float(m1["total_cost"]) != float(m2["total_cost"])
+
+
+def test_cross_device_mining_dp_matches_single_device(rng):
+    """cfg.cross_device_mining: the mined quadruplet loss over the 8-device
+    DP mesh equals the single-device loss over the concatenated batch
+    (global-view jit — XLA inserts the collectives), proving mining spans
+    the whole mesh-wide batch."""
+    cfg = cfglib.get_config("global_config")
+    cfg.num_points = N
+    cfg.batch_size = 2
+    cfg.num_pos = 1
+    cfg.num_neg = 5
+    cfg.sampled_kpnum = -1
+    cfg.input_R = False
+    cfg.cross_device_mining = True
+    total = cfg.batch_size * (1 + cfg.num_pos + cfg.num_neg + 1)  # 16
+    batch = {"points": jnp.asarray(
+        rng.randn(total, N, 3).astype(np.float32) * 5)}
+
+    state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step = trainlib.make_train_step(cfg)
+    _, m1 = step(state, batch)  # single-device oracle
+    assert "hardest_neg_dist" in m1  # mined path actually taken
+
+    mesh = data_parallel_mesh(8)
+    with jax.sharding.set_mesh(mesh):
+        sharded = shard_batch(mesh, batch)
+        rep_state = replicate(mesh, state)
+        _, m2 = step(rep_state, sharded)
+    np.testing.assert_allclose(
+        float(m1["total_cost"]), float(m2["total_cost"]), rtol=1e-4
+    )
