@@ -1,12 +1,17 @@
-"""Benchmark: clouds/sec/chip for the full DH3D forward (local backbone +
-detector + global NetVLAD descriptor) at 8192 points — the BASELINE.json
-metric.
+"""Benchmark: the BASELINE.json metric set on one chip —
 
-Measurement notes: on the axon TPU tunnel `block_until_ready` returns before
-execution completes and a host readback costs ~30 ms round-trip, so we
-amortize: run the forward many times sequentially (data dependence through a
-carried scalar prevents CSE/overlap-elision), then force one scalar
-readback and divide.
+  headline: clouds/sec/chip, full DH3D forward (local backbone + detector
+            + global NetVLAD descriptor) at 8192 points
+  extras:   train-step clouds/s (detection config, fwd+bwd+Adam),
+            kNN kernel ms, flex_conv kernel ms (the two hot custom ops)
+
+Prints ONE JSON line; `extra` carries the secondary metrics.
+
+Measurement notes: on the axon TPU tunnel `block_until_ready` returns
+before execution completes and a host readback costs ~30 ms round-trip, so
+we amortize: run each workload many times sequentially (data dependence
+through a carried scalar prevents CSE/overlap-elision), then force one
+scalar readback and divide.
 
 The CUDA reference publishes no throughput numbers (BASELINE.json
 `published` == {}), so `vs_baseline` is reported against the north-star
@@ -21,14 +26,23 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _chain_time(fn, state0, iters):
+    """Time `iters` data-dependent calls of fn(state) -> scalar; returns
+    (seconds_per_call, final_value)."""
+    salt = fn(state0)
+    float(salt)  # warmup + compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        salt = fn(salt)
+    val = float(salt)  # forces completion of the whole chain
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(val)
+    return dt, val
 
+
+def bench_forward(jax, jnp, B=20, N=8192, iters=30):
     from dh3d_tpu import config as cfglib
     from dh3d_tpu.nn import DH3D
-
-    B, N, ITERS = 20, 8192, 30
 
     cfg = cfglib.get_config("global_config")
     cfg.num_points = N
@@ -43,9 +57,7 @@ def main():
     )
 
     @jax.jit
-    def fwd_scalar(variables, points, salt):
-        # salt creates a data dependence between iterations so sequential
-        # calls cannot be elided or reordered.
+    def fwd_scalar(salt):
         outs = model.apply(variables, points + salt * 1e-12, train=False)
         return (
             jnp.sum(outs["local_desc"][:, 0, 0])
@@ -53,25 +65,119 @@ def main():
             + jnp.sum(outs["attention"][:, 0, 0])
         )
 
-    # warmup + compile
-    salt = fwd_scalar(variables, points, jnp.float32(0))
-    float(salt)
+    dt, _ = _chain_time(fwd_scalar, jnp.float32(0), iters)
+    return B / dt
 
+
+def bench_train_step(jax, jnp, B=10, N=8192, iters=10):
+    """Full train step (detection config: local + detector losses,
+    fwd + bwd + Adam) at the reference batch (10 pairs = 20 clouds)."""
+    from dh3d_tpu import config as cfglib
+    from dh3d_tpu import train as trainlib
+
+    KP = 512
+    cfg = cfglib.get_config("detection_config")
+    cfg.num_points = N
+    cfg.sampled_kpnum = KP
+    cfg.batch_size = B
+
+    rng = np.random.RandomState(0)
+    pc1 = rng.randn(B, N, 3).astype(np.float32) * 20
+    ang = rng.uniform(-np.pi, np.pi, B)
+    R = np.stack([
+        np.array([[np.cos(a), np.sin(a), 0],
+                  [-np.sin(a), np.cos(a), 0],
+                  [0, 0, 1]], np.float32)
+        for a in ang
+    ])
+    pc2 = np.einsum("bnd,bde->bne", pc1, R).astype(np.float32)
+    anc = np.stack([rng.choice(N, KP, replace=False) for _ in range(B)])
+    batch = {
+        "points": jnp.asarray(np.concatenate([pc1, pc2])),
+        "sample_inds": jnp.asarray(
+            np.concatenate([anc, anc]).astype(np.int32)),
+        "R": jnp.asarray(R),
+    }
+    state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step = trainlib.make_train_step(cfg)
+
+    # chain via the loss scalar -> next step's points perturbation
+    @jax.jit
+    def one(carry):
+        salt, st = carry
+        b = dict(batch)
+        b["points"] = batch["points"] + salt * 1e-12
+        st, metrics = step(st, b)
+        return (metrics["total_cost"], st)
+
+    carry = one((jnp.float32(0), state))
+    float(carry[0])
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        salt = fwd_scalar(variables, points, salt)
-    total = float(salt)  # forces completion of the whole chain
-    elapsed = time.perf_counter() - t0
-    assert np.isfinite(total)
+    for _ in range(iters):
+        carry = one(carry)
+    val = float(carry[0])
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(val)
+    return 2 * B / dt  # clouds per second (anchor+positive per pair)
 
-    clouds_per_sec = B * ITERS / elapsed
+
+def bench_knn(jax, jnp, B=20, N=8192, k=8, iters=30):
+    from dh3d_tpu import ops
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 30.0)
+
+    @jax.jit
+    def knn_scalar(salt):
+        idx, d = ops.knn_bruteforce(pts + salt * 1e-12, k, mode="fast")
+        return jnp.float32(jnp.sum(idx[:, 0, :]) % 1024) + d[0, 0, 0] * 0
+
+    dt, _ = _chain_time(knn_scalar, jnp.float32(0), iters)
+    return dt * 1e3
+
+
+def bench_flex_conv(jax, jnp, B=20, N=8192, k=8, cin=64, cout=64, iters=30):
+    from dh3d_tpu import ops
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 30.0)
+    feat = jnp.asarray(rng.randn(B, N, cin).astype(np.float32))
+    theta = jnp.asarray(rng.randn(3, cin, cout).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(cin, cout).astype(np.float32) * 0.05)
+    nbh, _ = ops.knn_bruteforce(pts, k, mode="fast")
+    nbh = jax.block_until_ready(nbh)
+
+    @jax.jit
+    def fc_scalar(salt):
+        y = ops.flex_conv(feat + salt * 1e-12, pts, nbh, theta, bias)
+        return jnp.sum(y[:, 0, 0])
+
+    dt, _ = _chain_time(fc_scalar, jnp.float32(0), iters)
+    return dt * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    fwd_cps = bench_forward(jax, jnp)
+    train_cps = bench_train_step(jax, jnp)
+    knn_ms = bench_knn(jax, jnp)
+    flex_ms = bench_flex_conv(jax, jnp)
+
     print(
         json.dumps(
             {
-                "metric": "clouds/sec/chip, full DH3D fwd (local+det+global) @ 8192 pts",
-                "value": round(clouds_per_sec, 1),
+                "metric": "clouds/sec/chip, full DH3D fwd "
+                          "(local+det+global) @ 8192 pts",
+                "value": round(fwd_cps, 1),
                 "unit": "clouds/s",
-                "vs_baseline": round(clouds_per_sec / 100.0, 2),
+                "vs_baseline": round(fwd_cps / 100.0, 2),
+                "extra": {
+                    "train_step_clouds_per_sec@20x8192": round(train_cps, 1),
+                    "knn_k8_ms@20x8192": round(knn_ms, 2),
+                    "flex_conv_64x64_ms@20x8192": round(flex_ms, 2),
+                },
             }
         )
     )

@@ -74,6 +74,11 @@ def basic_config():
         cross_device_mining=False,
         augment_on_device=False,  # jitted augmentation (global training)
         remat=False,              # rematerialize the backbone in backward
+        # local training: generate rotation/FPS-anchors/1-NN inside the
+        # jitted step (data/pairgen.py) instead of the host loader loop
+        device_pairgen=False,
+        rot_maxv=3.141592653589793,
+        prefetch=2,               # host batch prefetch depth (0 = off)
     )
 
 

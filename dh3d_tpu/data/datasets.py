@@ -116,6 +116,33 @@ class LocalTrainSelfPair:
                 yield collate_local(buf)
                 buf = []
 
+    def load_raw(self, ind):
+        """Host side of on-device pair generation: load + fixed-size
+        normalize + augment both copies, nothing else — rotation, FPS
+        anchors and 1-NN correspondences run inside the jitted step
+        (`dh3d_tpu/data/pairgen.py`)."""
+        pcfile = os.path.join(self.basedir, self.dict[ind]["query"] + ".bin")
+        cloud = load_single_pcfile(pcfile)
+        pc1 = self._process(cloud[:, :3])
+        pc2 = self._process(cloud[:, :3])
+        return pc1, pc2
+
+    def raw_batches(self, batch_size) -> Iterator[dict]:
+        """Batches of {pc1 [B,N,3], pc2 [B,N,3]} (both unrotated) for the
+        device-pairgen trainer path."""
+        order = list(range(len(self)))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        buf = []
+        for i in order:
+            buf.append(self.load_raw(i))
+            if len(buf) == batch_size:
+                yield {
+                    "pc1": np.stack([b[0] for b in buf]),
+                    "pc2": np.stack([b[1] for b in buf]),
+                }
+                buf = []
+
 
 def collate_local(items):
     pc1 = np.stack([it[0] for it in items])

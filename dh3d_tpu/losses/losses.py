@@ -28,6 +28,17 @@ def pairwise_dist(a, b):
     return jnp.sum(diff * diff, axis=-1)
 
 
+def pairwise_dist_cosine(a, b, isl2norm=True):
+    """Cosine similarity matrix (`core/tf_utils.py:112-123`): matmul
+    clipped to [-1, 1].  The reference's `isl2norm` parameter is accepted
+    and ignored, exactly as upstream (the function assumes pre-normalized
+    inputs either way).  a [B,M,D], b [B,N,D] -> [B,M,N]."""
+    del isl2norm  # unused in the reference too
+    sim = jnp.einsum("bmd,bnd->bmn", a, b,
+                     preferred_element_type=jnp.float32)
+    return jnp.clip(sim, -1.0, 1.0)
+
+
 def desc_local_loss(outs, pos_r=0.5, search_r=20.0, margin=0.8,
                     neg_weight=5.0, **unused):
     """N-tuple contrastive loss over sampled correspondences

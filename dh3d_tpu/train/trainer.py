@@ -110,14 +110,20 @@ def init_state(cfg, rng, sample_batch) -> TrainState:
     """Initialize model + optimizer from one example batch (jitted init)."""
     model = DH3D(cfg)
 
+    if "pc1" in sample_batch:
+        # device-pairgen raw batch: init from the equivalent shapes
+        B, N = sample_batch["pc1"].shape[:2]
+        init_points = jnp.concatenate(
+            [sample_batch["pc1"], sample_batch["pc2"]])
+        init_inds = jnp.zeros((2 * B, cfg.sampled_kpnum), jnp.int32)
+    else:
+        init_points = sample_batch["points"]
+        init_inds = sample_batch.get("sample_inds")
+
     @jax.jit
     def _init(rng):
-        return model.init(
-            rng,
-            sample_batch["points"],
-            sample_inds=sample_batch.get("sample_inds"),
-            train=False,
-        )
+        return model.init(rng, init_points, sample_inds=init_inds,
+                          train=False)
 
     variables = _init(rng)
     params = variables["params"]
@@ -133,6 +139,37 @@ def init_state(cfg, rng, sample_batch) -> TrainState:
 
 
 def loss_and_updates(params, batch_stats, batch, cfg, model):
+    if "pc1" in batch:
+        # on-device local pair generation (data/pairgen.py): the host
+        # supplied only the two unrotated augmented copies; rotation, FPS
+        # anchors and 1-NN correspondences are computed here, inside jit.
+        import math
+
+        from dh3d_tpu.data.pairgen import device_local_pairs
+
+        pc1, pc2 = batch["pc1"], batch["pc2"]
+        if cfg.augment_on_device and "aug_key" in batch:
+            # independent per-copy augmentation BEFORE correspondence
+            # search, like the host loader (`core/datasets.py:130-131`)
+            from dh3d_tpu.data.augment import jax_augment
+
+            both = jnp.concatenate([pc1, pc2])
+            keys = jax.random.split(batch["aug_key"], both.shape[0])
+            both = jax.vmap(
+                lambda k, pc: jax_augment(k, pc, tuple(cfg.data_aug))
+            )(keys, both)
+            pc1, pc2 = jnp.split(both, 2)
+        rot_maxv = cfg.rot_maxv if cfg.rot_maxv is not None else math.pi
+        pair = device_local_pairs(
+            batch["pairgen_key"], pc1, pc2, cfg.sampled_kpnum,
+            rot_maxv=rot_maxv,
+        )
+        batch = {
+            k: v for k, v in batch.items()
+            if k not in ("pc1", "pc2", "pairgen_key", "aug_key")
+        }
+        batch.update(pair)
+
     points = batch["points"]
     if cfg.augment_on_device and "aug_key" in batch:
         # TPU-native augmentation: the reference jitters/rotates per cloud
@@ -257,17 +294,44 @@ def save_checkpoint(ckpt_dir: str, state: TrainState,
     return path
 
 
-def load_checkpoint(path: str):
+def load_checkpoint(path: str, target=None):
+    """Restore a checkpoint; `target` (an abstract pytree of
+    jax.ShapeDtypeStruct) silences orbax's "target tree not provided"
+    sharding warning and validates structure/shapes on restore."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path)
+    if target is None:
+        return ckptr.restore(path)
+    return ckptr.restore(path, target)
+
+
+def _abstract_tree(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        tree,
+    )
 
 
 def restore_state(path: str, state: TrainState) -> TrainState:
     """Exact-resume restore into a freshly initialized TrainState (same
     config): params, batch stats, step, and optimizer state."""
-    loaded = load_checkpoint(path)
+    target = {
+        "params": _abstract_tree(flax.core.unfreeze(state.params)),
+        "batch_stats": _abstract_tree(
+            flax.core.unfreeze(state.batch_stats)),
+        "step": jax.ShapeDtypeStruct((), jnp.int32),
+        "opt_leaves": [
+            jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+            for x in jax.tree_util.tree_leaves(state.opt_state)
+        ],
+    }
+    try:
+        loaded = load_checkpoint(path, target)
+    except BaseException:
+        # checkpoint written with include_opt=False (or an older layout):
+        # fall back to structure-free restore
+        loaded = load_checkpoint(path)
     new = state.replace(
         params=loaded["params"],
         batch_stats=loaded["batch_stats"],

@@ -53,10 +53,14 @@ def main():
     variables = {"params": loaded["params"],
                  "batch_stats": loaded["batch_stats"]}
 
-    # extract for the union of ref + query sequences
-    for gt_file in {args.ref_gt_file, args.query_gt_file}:
+    # extract for the union of ref + query sequences, deduplicating clouds
+    # that appear in both GT files (each output path is extracted once)
+    done = set()
+    for gt_file in dict.fromkeys([args.ref_gt_file, args.query_gt_file]):
         ds = GlobalTestDataset(args.pcdpath, gt_file,
                                numpts=cfg.num_points)
+        ds.files = [f for f in ds.files if f not in done]
+        done.update(ds.files)
         n = extract_global(cfg, variables, ds, args.save_dir,
                            batch_size=args.batch_size, model=DH3D(cfg))
         print(f"extracted {n} clouds from {os.path.basename(gt_file)}")

@@ -274,3 +274,65 @@ def test_cross_device_mining_dp_matches_single_device(rng):
     np.testing.assert_allclose(
         float(m1["total_cost"]), float(m2["total_cost"]), rtol=1e-4
     )
+
+
+def test_device_pairgen_correspondences(rng):
+    """On-device pair generation (data/pairgen.py): with pc2 == pc1, the
+    1-NN correspondence of every FPS anchor must be the anchor itself, the
+    rotated copy must equal pc1 @ R, and anchors must be unique."""
+    from dh3d_tpu.data.pairgen import device_local_pairs
+
+    B, M = 2, 16
+    pc = rng.randn(B, N, 3).astype(np.float32) * 5
+    out = device_local_pairs(jax.random.PRNGKey(7), jnp.asarray(pc),
+                             jnp.asarray(pc), M)
+    pts = np.asarray(out["points"])
+    inds = np.asarray(out["sample_inds"])
+    R = np.asarray(out["R"])
+    assert pts.shape == (2 * B, N, 3) and inds.shape == (2 * B, M)
+    np.testing.assert_array_equal(inds[:B], inds[B:])  # self-corresp.
+    for b in range(B):
+        assert len(set(inds[b])) == M  # FPS anchors unique
+        np.testing.assert_allclose(pts[B + b], pc[b] @ R[b], atol=1e-5)
+        # R is a proper rotation
+        np.testing.assert_allclose(R[b] @ R[b].T, np.eye(3), atol=1e-5)
+
+
+def test_device_pairgen_train_step(rng):
+    """Full train step from a raw {pc1, pc2} batch: pairgen inside jit,
+    loss finite and decreasing."""
+    cfg = small_cfg()
+    cfg.device_pairgen = True
+    cfg.sampled_kpnum = KP
+    pc1 = rng.randn(2, N, 3).astype(np.float32) * 5
+    batch = {
+        "pc1": jnp.asarray(pc1),
+        "pc2": jnp.asarray(pc1 + rng.randn(2, N, 3).astype(np.float32) * 0.01),
+        "pairgen_key": jax.random.PRNGKey(0),
+    }
+    state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step = trainlib.make_train_step(cfg)
+    losses = []
+    for i in range(6):
+        b = dict(batch, pairgen_key=jax.random.PRNGKey(i))
+        state, m = step(state, b)
+        losses.append(float(m["total_cost"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_threaded_prefetcher():
+    from dh3d_tpu.data import ThreadedPrefetcher
+
+    items = list(ThreadedPrefetcher(iter(range(20)), depth=3))
+    assert items == list(range(20))
+
+    def boom():
+        yield 1
+        raise ValueError("source failed")
+
+    it = ThreadedPrefetcher(boom(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="source failed"):
+        next(it)

@@ -63,10 +63,18 @@ def real_batches(cfg):
                                     "oxford_train_local_gt.pickle"),
             numpts=cfg.num_points,
             sample_nodes=cfg.sampled_kpnum,
-            aug=cfg.data_aug,
+            # with on-device augmentation the host loader must not also
+            # augment (the jitted step applies cfg.data_aug itself)
+            aug=() if (cfg.device_pairgen and cfg.augment_on_device)
+            else cfg.data_aug,
         )
         while True:
-            yield from ds.batches(cfg.batch_size)
+            if cfg.device_pairgen:
+                # host does load+normalize only; rotation/FPS/1-NN run
+                # inside the jitted step (dh3d_tpu/data/pairgen.py)
+                yield from ds.raw_batches(cfg.batch_size)
+            else:
+                yield from ds.batches(cfg.batch_size)
     else:
         ds = GlobalTrainTriplet(
             basedir=cfg.data_basedir,
@@ -101,6 +109,9 @@ def main():
     parser.add_argument("--num_points", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--device_pairgen", action="store_true",
+                        help="generate local-pair rotation/anchors/"
+                             "correspondences inside the jitted step")
     args = parser.parse_args()
 
     import jax
@@ -114,6 +125,8 @@ def main():
     for key in ("data_basedir", "num_points", "batch_size"):
         if getattr(args, key) is not None:
             cfg[key] = getattr(args, key)
+    if args.device_pairgen:
+        cfg.device_pairgen = True
 
     logdir = args.logdir or os.path.join(
         "train_log", f"{args.cfg}_{time.strftime('%m%d-%H%M%S')}"
@@ -126,6 +139,10 @@ def main():
          else synthetic_global_batches(cfg))
         if args.synthetic else real_batches(cfg)
     )
+    if (cfg.prefetch or 0) > 0 and not args.synthetic:
+        from dh3d_tpu.data import ThreadedPrefetcher
+
+        batches = ThreadedPrefetcher(batches, depth=cfg.prefetch)
     first = next(batches)
 
     n_dev = args.num_devices or len(jax.devices())
@@ -148,8 +165,19 @@ def main():
         step_fn = trainlib.make_train_step(cfg, donate=True)
         t0 = time.time()
         start = int(state.step)
+        pg_key = jax.random.PRNGKey(1)
+        aug_key = jax.random.PRNGKey(2)
         for i in range(start, start + args.steps):
-            batch = shard_batch(mesh, first if i == start else next(batches))
+            batch = dict(first if i == start else next(batches))
+            if cfg.device_pairgen and "pc1" in batch:
+                batch["pairgen_key"] = jax.random.fold_in(pg_key, i)
+            if cfg.augment_on_device and (
+                    not cfg.training_local or "pc1" in batch):
+                # local host-pairgen batches must NOT be re-augmented on
+                # device: the correspondences were built from the already-
+                # augmented clouds (trainer docstring)
+                batch["aug_key"] = jax.random.fold_in(aug_key, i)
+            batch = shard_batch(mesh, batch)
             if args.profile and i == start + 10:
                 jax.profiler.start_trace(os.path.join(logdir, "profile"))
             state, metrics = step_fn(state, batch)
