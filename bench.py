@@ -40,7 +40,29 @@ def _chain_time(fn, state0, iters):
     return dt, val
 
 
-def bench_forward(jax, jnp, B=20, N=8192, iters=30):
+def _bench_clouds(B, N):
+    """Real Oxford demo clouds when available (the Morton fast path's
+    banding only shows its true in-band fraction on real geometry);
+    synthetic gaussians otherwise."""
+    import glob
+
+    rng = np.random.RandomState(0)
+    files = sorted(glob.glob("/tmp/demo_train/*/*.bin"))
+    if len(files) >= B:
+        from dh3d_tpu.data.io import get_fixednum_pcd, load_single_pcfile
+
+        clouds = []
+        for f in files[:B]:
+            c = load_single_pcfile(f)
+            pc, _ = get_fixednum_pcd(c[:, :3], N, randsample=True,
+                                     need_downsample=False,
+                                     sortby_dis=False, rng=rng)
+            clouds.append(pc)
+        return np.stack(clouds).astype(np.float32)
+    return rng.randn(B, N, 3).astype(np.float32) * 30.0
+
+
+def bench_forward(jax, jnp, B=20, N=8192, iters=30, morton=False):
     from dh3d_tpu import config as cfglib
     from dh3d_tpu.nn import DH3D
 
@@ -48,10 +70,10 @@ def bench_forward(jax, jnp, B=20, N=8192, iters=30):
     cfg.num_points = N
     cfg.detection = True
     cfg.detection_block = "detection_block"
+    cfg.morton_order = morton
     model = DH3D(cfg)
 
-    rng = np.random.RandomState(0)
-    points = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 30.0)
+    points = jnp.asarray(_bench_clouds(B, N))
     variables = jax.jit(lambda k, p: model.init(k, p, train=False))(
         jax.random.PRNGKey(0), points
     )
@@ -160,7 +182,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    fwd_cps = bench_forward(jax, jnp)
+    # production fast path: Morton-ordered clouds + banded kernels
+    fwd_fast = bench_forward(jax, jnp, morton=True)
+    # reference-parity path (exact XLA-gather ops, unsorted)
+    fwd_parity = bench_forward(jax, jnp, morton=False)
     train_cps = bench_train_step(jax, jnp)
     knn_ms = bench_knn(jax, jnp)
     flex_ms = bench_flex_conv(jax, jnp)
@@ -169,11 +194,13 @@ def main():
         json.dumps(
             {
                 "metric": "clouds/sec/chip, full DH3D fwd "
-                          "(local+det+global) @ 8192 pts",
-                "value": round(fwd_cps, 1),
+                          "(local+det+global) @ 8192 pts, Morton fast "
+                          "path",
+                "value": round(fwd_fast, 1),
                 "unit": "clouds/s",
-                "vs_baseline": round(fwd_cps / 100.0, 2),
+                "vs_baseline": round(fwd_fast / 100.0, 2),
                 "extra": {
+                    "fwd_parity_mode_clouds_per_sec": round(fwd_parity, 1),
                     "train_step_clouds_per_sec@20x8192": round(train_cps, 1),
                     "knn_k8_ms@20x8192": round(knn_ms, 2),
                     "flex_conv_64x64_ms@20x8192": round(flex_ms, 2),

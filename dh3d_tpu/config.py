@@ -79,6 +79,10 @@ def basic_config():
         device_pairgen=False,
         rot_maxv=3.141592653589793,
         prefetch=2,               # host batch prefetch depth (0 = off)
+        # Morton-order locality mode: sort clouds along the Z-order curve
+        # and use the banded one-hot-matmul kernels instead of XLA gathers
+        # (TPU fast path; exact via out-of-band correction)
+        morton_order=False,
     )
 
 

@@ -41,6 +41,67 @@ def top_k_keypoints(xyz, attention, k, nms_radius=0.5, min_response_ratio=0.01):
     return np.asarray(xyz)[idx]
 
 
+def repeatability_curve_pairs(extract_fn, pairs, ks=(32, 64, 128, 256, 512),
+                              radius=0.5):
+    """GT-pose-pair protocol (the paper/USIP evaluation behind BASELINE.md
+    rows 1-5): `pairs` is an iterable of (cloud1 [N,3], cloud2 [M,3],
+    R, t) with the GROUND-TRUTH relative pose x2 = x1 @ R.T + t — real
+    scan pairs, partial overlap included.
+
+    extract_fn(cloud [N,3]) -> (xyz [N,3], attention [N]).
+    Returns {k: mean relative repeatability}.
+    """
+    results = {k: [] for k in ks}
+    for c1, c2, R, t in pairs:
+        xyz1, att1 = extract_fn(np.asarray(c1, np.float32))
+        xyz2, att2 = extract_fn(np.asarray(c2, np.float32))
+        for k in ks:
+            kp1 = top_k_keypoints(xyz1, att1, k)
+            kp2 = top_k_keypoints(xyz2, att2, k)
+            results[k].append(keypoint_repeatability(kp1, kp2, R, t, radius))
+    return {k: float(np.mean(v)) for k, v in results.items()}
+
+
+def make_partial_overlap_pairs(clouds, numpts=8192, keep=0.85,
+                               jitter=0.01, seed=0):
+    """Construct harder evaluation pairs from single clouds: two
+    PARTIAL-OVERLAP half-space crops (each keeps the lower/upper `keep`
+    fraction along a random direction, overlap ~ 2*keep-1), independently
+    resampled to `numpts`, the second rigidly moved by a known (R, t).
+
+    Unlike the self-pair protocol (same points, jittered), the two crops
+    share no point identities and differ in extent — closer to real scan
+    pairs.  Returns a list of (cloud1, cloud2, R, t) for
+    `repeatability_curve_pairs`.
+    """
+    rng = np.random.RandomState(seed)
+    pairs = []
+    for cloud in clouds:
+        cloud = np.asarray(cloud, np.float64)
+        u = rng.randn(3)
+        u /= np.linalg.norm(u)
+        proj = cloud @ u
+        lo, hi = np.quantile(proj, [1.0 - keep, keep])
+        part1 = cloud[proj <= hi]
+        part2 = cloud[proj >= lo]
+        if len(part1) < numpts // 4 or len(part2) < numpts // 4:
+            continue
+
+        def resample(pts):
+            idx = rng.choice(len(pts), numpts, replace=len(pts) < numpts)
+            return pts[idx] + rng.randn(numpts, 3) * jitter
+
+        c1 = resample(part1)
+        c2 = resample(part2)
+        ang = rng.uniform(-np.pi, np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        t = rng.uniform(-5, 5, 3)
+        c2 = c2 @ R.T + t
+        pairs.append((c1.astype(np.float32), c2.astype(np.float32), R, t))
+    return pairs
+
+
 def repeatability_curve(extract_fn, clouds, ks=(32, 64, 128, 256, 512),
                         radius=0.5, seed=0):
     """Relative repeatability averaged over `clouds` at each K, using

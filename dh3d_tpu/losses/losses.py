@@ -76,7 +76,8 @@ def desc_local_loss(outs, pos_r=0.5, search_r=20.0, margin=0.8,
 
 
 def local_detection_loss_nn(outs, ar_th=0.3, det_k=16, ar_nn_k=5, pos_r=0.3,
-                            use_hardest_neg=True, **unused):
+                            use_hardest_neg=True, knn_window=None,
+                            **unused):
     """Unsupervised keypoint detector loss (`core/losses.py:65-133`).
 
     For each anchor keypoint: take the det_k-neighborhood of its
@@ -101,7 +102,10 @@ def local_detection_loss_nn(outs, ar_th=0.3, det_k=16, ar_nn_k=5, pos_r=0.3,
     feat_s0, feat_s1 = jnp.split(outs["feat_sampled"], 2, axis=0)
     rot = outs["R"]
 
-    knn1, _ = ops.knn_bruteforce(xyz1, det_k, mode="fast")  # [B,N,det_k]
+    # knn_window: Morton-banded approximate knn (set by the dispatcher
+    # when cfg.morton_order — the train-mode clouds are already sorted)
+    knn1, _ = ops.knn_bruteforce(xyz1, det_k, mode="fast",
+                                 window=knn_window)  # [B,N,det_k]
 
     xyz0_warp = jnp.einsum("bmd,bde->bme", xyz_s0, rot, precision="highest")
 
@@ -348,6 +352,7 @@ def compute_total_loss(outs, cfg, params_l2=0.0):
         dl, aux = DETECTION_LOSSES[cfg.detection_loss](
             outs, ar_th=cfg.ar_th, det_k=cfg.det_k, ar_nn_k=cfg.ar_nn_k,
             pos_r=cfg.pos_r,
+            knn_window=512 if cfg.morton_order else None,
         )
         dl = dl * _default(cfg.det_loss_weight, 1.0)
         metrics["det_loss_weighted"] = dl

@@ -38,30 +38,49 @@ class FlexConvDilate(nn.Module):
     use_running_average: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Optional[object] = None
+    method: str = "gather"
+    inband_knn: bool = False  # caller-provided knn is Morton-banded
 
     @nn.compact
     def __call__(self, xyz, feat, knn_indices=None):
         num_point = xyz.shape[1]
         npoint = num_point // self.dilate
+        banded = self.method == "banded"
+        # the banded fast path needs tile-divisible sizes; the windows
+        # here must match ops.knn_bruteforce(window=...) exactly
+        use_banded = (banded and num_point % 256 == 0
+                      and npoint % 256 == 0 and npoint >= 512)
+        inband = self.inband_knn
 
         if self.dilate > 1:
-            points_s, feat_s, _ = ops.subsample(xyz, feat, npoint)
+            # under the banded method, keep the subsampled set in the
+            # parent's (Morton) order: ascending original indices preserve
+            # the space-filling-curve locality the kernel windows rely on.
+            # FPS *selection* is unchanged — only the output order differs,
+            # which is internal to this stage (features are upsampled back
+            # to full resolution before leaving).
+            points_s, feat_s, _ = ops.subsample(
+                xyz, feat, npoint, sorted_order=banded)
         else:
             points_s, feat_s = xyz, feat
 
         if knn_indices is None:
-            knn_indices, _ = ops.knn_bruteforce(points_s, self.knn,
-                                                mode="fast")
+            knn_indices, _ = ops.knn_bruteforce(
+                points_s, self.knn, mode="fast",
+                window=512 if use_banded else None)
+            inband = use_banded
 
         x = feat_s
         for i, d in enumerate(self.outdims):
             x = FlexConvBN(
                 d, self.use_running_average, self.bn_axis_name,
-                dtype=self.dtype, name=f"flexconv_{i}",
+                dtype=self.dtype, method=self.method,
+                assume_inband=inband, name=f"flexconv_{i}",
             )(x, points_s, knn_indices)
 
         if self.add_se == "max_pool":
-            x_pool, _ = ops.flex_pool(x, knn_indices)
+            x_pool, _ = ops.flex_pool(x, knn_indices, method=self.method,
+                                      assume_inband=inband)
             x = SEResBottleneck(
                 self.outdims[-1], self.use_running_average,
                 self.bn_axis_name, name="se",
@@ -69,7 +88,8 @@ class FlexConvDilate(nn.Module):
         elif self.add_se == "avg_pool":
             # flex_avg neighborhood sum scaled by 1/knn
             # (`core/backbones.py:81-83`)
-            x_pool = ops.flex_avg(x, knn_indices) * (1.0 / self.knn)
+            x_pool = ops.flex_avg(x, knn_indices, method=self.method,
+                                  assume_inband=inband) * (1.0 / self.knn)
             x = SEResBottleneck(
                 self.outdims[-1], self.use_running_average,
                 self.bn_axis_name, name="se",
@@ -77,9 +97,13 @@ class FlexConvDilate(nn.Module):
 
         new_feat = x
         if self.upsample and self.dilate > 1:
-            dist, idx = ops.three_nn(xyz, points_s)
+            dist, idx = ops.three_nn(
+                xyz, points_s,
+                window=256 if use_banded else None)
             weight = ops.inverse_distance_weights(dist)
-            new_feat = ops.three_interpolate(new_feat, idx, weight)
+            new_feat = ops.three_interpolate(
+                new_feat, idx, weight, method=self.method,
+                window=256, assume_inband=use_banded)
 
         if self.concat:
             new_feat = jnp.concatenate([new_feat, feat], axis=-1)
@@ -100,6 +124,8 @@ class BackboneLocalDilate(nn.Module):
     use_running_average: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Optional[object] = None
+    method: str = "gather"
+    inband_knn: bool = False  # knn_ind came from the Morton-banded knn
 
     @nn.compact
     def __call__(self, points, knn_ind):
@@ -108,15 +134,17 @@ class BackboneLocalDilate(nn.Module):
         nn_8 = knn_ind[..., :8]
 
         # initconv: conv_pointset on raw xyz + BN/relu, then flex max-pool
-        # (`core/backbones.py:108-110`)
+        # (`core/backbones.py:108-110`); Din=3 -> gather stays cheap
         init_f = ConvPointsetBN(32, ura, axn, name="initconv")(points, nn_8)
-        init_f, _ = ops.flex_pool(init_f, nn_8)
+        init_f, _ = ops.flex_pool(init_f, nn_8, method=self.method,
+                                  assume_inband=self.inband_knn)
 
         # stage 1: full resolution, knn8, dims [64, 64], SE max-pool
         _, x1 = FlexConvDilate(
             dilate=1, knn=8, outdims=(64, 64), concat=False,
             add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
-            dtype=dt, name="stage1",
+            dtype=dt, method=self.method, inband_knn=self.inband_knn,
+            name="stage1",
         )(points, init_f, knn_indices=nn_8)
 
         # stage 2: dilate 8, dims [128, 128], concat + 1x1
@@ -125,7 +153,7 @@ class BackboneLocalDilate(nn.Module):
         _, x2 = FlexConvDilate(
             dilate=self.dilate2, knn=8, outdims=(128, 128), concat=True,
             add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
-            dtype=dt, name="stage2",
+            dtype=dt, method=self.method, name="stage2",
         )(points, x2)
 
         # combine with stage-1 shortcut (`core/backbones.py:123`)
@@ -195,6 +223,7 @@ class GlobalBeforeAssemble(nn.Module):
     use_running_average: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Optional[object] = None
+    method: str = "gather"
 
     @nn.compact
     def __call__(self, points, localdesc):
@@ -205,7 +234,7 @@ class GlobalBeforeAssemble(nn.Module):
             concat=False, add_se="", upsample=True,
             use_running_average=self.use_running_average,
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-            name="global_before_assemble",
+            method=self.method, name="global_before_assemble",
         )(points, localdesc)
 
 

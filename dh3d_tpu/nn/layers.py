@@ -58,11 +58,15 @@ class FlexConv(nn.Module):
     `dtype` is the compute dtype (mixed precision): params are stored f32
     and cast at use; the neighbor gather + moment matmul run in `dtype`
     with f32 accumulation (preferred_element_type in the op).
+    `method='banded'` routes the moment reduction through the Morton-band
+    kernel (requires Morton-ordered inputs for speed; exact either way).
     """
 
     features: int
     use_feature_bias: bool = True
     dtype: Optional[object] = None
+    method: str = "gather"
+    assume_inband: bool = False
 
     @nn.compact
     def __call__(self, feat, pos, nbh):
@@ -81,7 +85,9 @@ class FlexConv(nn.Module):
             feat = feat.astype(self.dtype)
             theta = theta.astype(self.dtype)
             pos_bias = pos_bias.astype(self.dtype)
-        y = ops.flex_conv(feat, pos, nbh, theta, pos_bias)
+        y = ops.flex_conv(feat, pos, nbh, theta, pos_bias,
+                          method=self.method,
+                          assume_inband=self.assume_inband)
         if self.use_feature_bias:
             y = y + self.param(
                 "feature_bias", nn.initializers.zeros, (self.features,)
@@ -98,10 +104,13 @@ class FlexConvBN(nn.Module):
     bn_axis_name: Optional[str] = None
     act: Callable = nn.relu
     dtype: Optional[object] = None
+    method: str = "gather"
+    assume_inband: bool = False
 
     @nn.compact
     def __call__(self, feat, pos, nbh):
-        x = FlexConv(self.features, dtype=self.dtype,
+        x = FlexConv(self.features, dtype=self.dtype, method=self.method,
+                     assume_inband=self.assume_inband,
                      name="flexconv")(feat, pos, nbh)
         x = BatchNorm(
             self.use_running_average, axis_name=self.bn_axis_name, name="norm"

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dh3d_tpu import ops
@@ -60,11 +61,50 @@ class DH3D(nn.Module):
         compute_dtype = jnp.dtype(cfg.compute_dtype or "float32")
         dt = None if compute_dtype == jnp.float32 else compute_dtype
 
-        if knn_inds is None:
-            knn_inds, _ = ops.knn_bruteforce(points, cfg.knn_num,
-                                             mode="fast")
+        # Morton (Z-order) locality mode: sort each cloud along the
+        # space-filling curve so neighbor indices become band-limited and
+        # the banded one-hot-matmul kernels replace XLA's issue-rate-bound
+        # gathers (docs/PERF_NOTES.md).  All per-point computation runs in
+        # sorted space; sampled-keypoint ids are remapped on entry, and
+        # dense per-point outputs are un-permuted on exit in eval mode
+        # (training losses are permutation-equivariant, so the sorted
+        # order is kept there — no unpermute gathers in the train step).
+        method = "banded" if cfg.morton_order else "gather"
+        inv_perm = None
+        if cfg.morton_order:
+            from dh3d_tpu.ops.pallas.banded_pallas import morton_perm
 
-        outs = {"xyz": points, "knn_indices": knn_inds}
+            perm, inv_perm = morton_perm(points)
+            points = jnp.take_along_axis(points, perm[..., None], axis=1)
+            if sample_inds is not None:
+                sample_inds = jnp.take_along_axis(
+                    inv_perm, sample_inds.reshape(points.shape[0], -1),
+                    axis=1)
+            if knn_inds is not None:
+                # host-provided knn refers to original order: reorder rows
+                # into sorted space, then map neighbor ids through inv_perm
+                rows = jnp.take_along_axis(knn_inds, perm[..., None],
+                                           axis=1)
+                knn_inds = jax.vmap(lambda iv, r: iv[r])(inv_perm, rows)
+
+        inband_knn = False
+        if knn_inds is None:
+            window = None
+            if cfg.morton_order and points.shape[1] % 256 == 0 \
+                    and points.shape[1] >= 1024:
+                window = 512
+                inband_knn = True
+            knn_inds, _ = ops.knn_bruteforce(points, cfg.knn_num,
+                                             mode="fast", window=window)
+
+        def unpermute(x):
+            """Sorted space -> original point order (eval only)."""
+            if inv_perm is None or train:
+                return x
+            return jnp.take_along_axis(
+                x, inv_perm[..., None].astype(jnp.int32), axis=1)
+
+        outs = {"xyz": unpermute(points), "knn_indices": knn_inds}
 
         # ---- local backbone (`core/model.py:99-108,176`)
         # points stay f32: all geometry (knn/FPS/three_nn/deltas) needs full
@@ -79,13 +119,16 @@ class DH3D(nn.Module):
             use_running_average=ura or bool(cfg.freezebackbone),
             bn_axis_name=axn,
             dtype=dt,
+            method=method,
+            inband_knn=inband_knn,
             name="local_backbone",
         )(points, knn_inds)
         localdesc = localdesc.astype(jnp.float32)
         localdesc_l2 = l2_normalize(localdesc, axis=-1, epsilon=1e-8)
-        outs["feat"] = localdesc
-        outs["local_desc"] = localdesc_l2
-        outs["xyz_feat"] = jnp.concatenate([newpoints, localdesc_l2], axis=-1)
+        outs["feat"] = unpermute(localdesc)
+        outs["local_desc"] = unpermute(localdesc_l2)
+        outs["xyz_feat"] = unpermute(
+            jnp.concatenate([newpoints, localdesc_l2], axis=-1))
 
         # ---- detector head (`core/model.py:184-188`)
         if cfg.detection:
@@ -96,10 +139,10 @@ class DH3D(nn.Module):
                 dtype=dt,
                 name="detection_block",
             )(localdesc)
-            outs["attention"] = det_att
-            outs["xyz_feat_att"] = jnp.concatenate(
+            outs["attention"] = unpermute(det_att)
+            outs["xyz_feat_att"] = unpermute(jnp.concatenate(
                 [newpoints, localdesc_l2, det_att], axis=-1
-            )
+            ))
 
         # ---- keypoint subsample (`core/model.py:190-200`)
         if cfg.sampled_kpnum and cfg.sampled_kpnum > 0:
@@ -130,6 +173,7 @@ class DH3D(nn.Module):
                     use_running_average=ura_g,
                     bn_axis_name=axn,
                     dtype=dt,
+                    method=method,
                     name="global_backbone",
                 )(newpoints, localdesc)
             else:

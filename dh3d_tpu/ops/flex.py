@@ -35,6 +35,34 @@ def gather_neighbors(values, neighborhood):
     return jax.vmap(lambda v, idx: v[idx])(values, neighborhood)
 
 
+def _banded_ok(features, neighborhood, tile):
+    """Banded kernel preconditions: TPU backend, tile-divisible sizes, and
+    a channel count wide enough that the one-hot matmul beats the gather."""
+    B, M, C = features.shape
+    N = neighborhood.shape[1]
+    return (jax.default_backend() == "tpu" and C >= 32
+            and N % tile == 0 and M % tile == 0 and N >= 2 * tile)
+
+
+def _flex_moments_banded(features, positions, neighborhood, tile, window,
+                         fast, assume_inband=False):
+    """Moment reduction via the banded one-hot-matmul kernel
+    (ops/pallas/banded_pallas.py): weights = [1, delta] per neighbor, one
+    fused kernel computes all (1+Dp) moments.  Positions gather stays XLA
+    (Dp=3 rows are cheap); features ride the MXU."""
+    from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
+
+    B, N, K = neighborhood.shape
+    p_k = gather_neighbors(positions, neighborhood)  # [B,N,K,Dp] small
+    delta = p_k - p_k[:, :, :1, :]
+    ones = jnp.ones_like(delta[..., :1])
+    weights = jnp.concatenate([ones, delta], axis=-1)  # [B,N,K,1+Dp]
+    return banded_weighted_sum(
+        features, neighborhood, weights, None, tile, window, fast, False,
+        assume_inband,
+    )  # [B, N, (1+Dp)*Din], p-major == moment layout
+
+
 def _flex_moments(features, positions, neighborhood):
     """Neighborhood moments for flex_conv.
 
@@ -59,7 +87,9 @@ def _flex_moments(features, positions, neighborhood):
     )
 
 
-def flex_conv(features, positions, neighborhood, theta, bias):
+def flex_conv(features, positions, neighborhood, theta, bias,
+              method="gather", tile=256, window=512, fast=True,
+              assume_inband=False):
     """Flex convolution: linear-in-position dynamic filter over neighborhoods.
 
     Args:
@@ -68,30 +98,59 @@ def flex_conv(features, positions, neighborhood, theta, bias):
       neighborhood: [B, N, K] int32, entry k=0 must be the center point.
       theta: [Dp, Din, Dout] spatial weights.
       bias: [Din, Dout] position-independent weights.
+      method: 'gather' (XLA gather moments, exact reference parity) or
+        'banded' (Morton-band one-hot-matmul kernel — requires the cloud
+        to be Morton-ordered for speed; exact for any order via the
+        out-of-band correction, `fast` rounds features to bf16).
+      tile/window/fast: banded-kernel parameters.
 
     Returns:
       [B, N, Dout].
     """
     Dp, Din, Dout = theta.shape
-    m = _flex_moments(features, positions, neighborhood)
+    if method == "banded" and _banded_ok(features, neighborhood, tile):
+        m = _flex_moments_banded(features, positions, neighborhood, tile,
+                                 window, fast, assume_inband)
+        m = m.astype(features.dtype)
+    else:
+        m = _flex_moments(features, positions, neighborhood)
     w = jnp.concatenate([bias[None], theta], axis=0).reshape((1 + Dp) * Din, Dout)
     return jnp.einsum("bnc,cd->bnd", m, w, precision="highest", preferred_element_type=jnp.float32)
 
 
-def flex_avg(features, neighborhood):
+def flex_avg(features, neighborhood, method="gather", tile=256, window=512,
+             fast=True, assume_inband=False):
     """Neighborhood sum — the `Flex_Avg` layer (`core/layers.py:342-436`):
     a flex_conv with zero theta and identity bias reduces to
     out[n] = sum_k feat[nk]; the caller scales by 1/K (`core/backbones.py:82`).
     """
+    if method == "banded" and _banded_ok(features, neighborhood, tile):
+        from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
+
+        ones = jnp.ones(neighborhood.shape + (1,), features.dtype)
+        return banded_weighted_sum(
+            features, neighborhood, ones, None, tile, window, fast, False,
+            assume_inband,
+        ).astype(features.dtype)
     return jnp.sum(gather_neighbors(features, neighborhood), axis=2)
 
 
-def flex_pool(features, neighborhood):
+def flex_pool(features, neighborhood, method="gather", tile=256,
+              window=512, fast=True, assume_inband=False):
     """Max-pool over each point's neighborhood.
 
     features [B,N,D], neighborhood [B,M,K] -> (out [B,M,D], argmax [B,M,D]
     int32 holding *global* point ids, `flex_pool_kernel.cc:50-55`).
+    method='banded' uses the Morton-band max kernel (exact via scatter-max
+    correction; argmax ties between in-band and out-of-band candidates
+    resolve to in-band — gradient routing differs only on exact float
+    ties).
     """
+    if method == "banded" and _banded_ok(features, neighborhood, tile):
+        from dh3d_tpu.ops.pallas.banded_pallas import banded_max
+
+        return banded_max(features, neighborhood, tile, window, fast,
+                          False, assume_inband)
     f_k = gather_neighbors(features, neighborhood)  # [B,M,K,D]
     out = jnp.max(f_k, axis=2)
     arg_k = jnp.argmax(f_k, axis=2)  # [B,M,D] in-neighborhood slot
@@ -133,7 +192,8 @@ def flex_deconv(features, positions, neighborhood, theta, bias):
     return out.reshape(B, N, Dout)
 
 
-def conv_pointset(features, neighborhood, theta, bias):
+def conv_pointset(features, neighborhood, theta, bias, method="gather",
+                  tile=256, window=512, fast=True, assume_inband=False):
     """1x1 conv on neighborhood feature *differences* ("conv_relative",
     DH3D's own op, `conv_pointset_kernel.cc:49-64`):
 
@@ -141,9 +201,27 @@ def conv_pointset(features, neighborhood, theta, bias):
                      + bias[dout]           # bias added once (at k_==0)
 
     features [B,N,Din], neighborhood [B,N,K], theta [Din,Dout], bias [Dout]
-    -> [B,N,Dout].
+    -> [B,N,Dout].  method='banded' computes the neighborhood sum on the
+    banded kernel (sum_k f_k - K*f0); the model's initconv has Din=3 where
+    the gather is already cheap, so 'gather' stays the default.
     """
     K = neighborhood.shape[-1]
+    if method == "banded" and _banded_ok(features, neighborhood, tile):
+        from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
+
+        ones = jnp.ones(neighborhood.shape + (1,), features.dtype)
+        nsum = banded_weighted_sum(
+            features, neighborhood, ones, None, tile, window, fast, False,
+            assume_inband,
+        ).astype(features.dtype)
+        f0 = jnp.take_along_axis(features, neighborhood[:, :, :1], axis=1)
+        diff_sum = nsum - K * f0
+        return (
+            jnp.einsum("bnd,de->bne", diff_sum, theta,
+                       precision="highest",
+                       preferred_element_type=jnp.float32)
+            + bias
+        )
     f_k = gather_neighbors(features, neighborhood)  # [B,N,K,Din]
     f0 = f_k[:, :, :1, :]
     diff_sum = jnp.sum(f_k - f0, axis=2)  # [B,N,Din]

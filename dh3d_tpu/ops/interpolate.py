@@ -15,20 +15,27 @@ import jax
 import jax.numpy as jnp
 
 
-def three_nn(xyz1, xyz2, impl="auto"):
+def three_nn(xyz1, xyz2, impl="auto", window=None):
     """3 nearest points of xyz2 for every point of xyz1.
 
     xyz1: [B, N, 3] queries (full-resolution points);
     xyz2: [B, M, 3] known points (subsampled set).
     Returns (dist [B, N, 3] SQUARED distances, idx [B, N, 3] int32),
     ascending — matching `tf_interpolate.cpp:72` (d = squared L2, no sqrt).
+    `window` restricts candidates to the Morton band (both clouds sorted
+    along the same curve; see ops/knn.py) — in-band by construction for
+    the banded `three_interpolate`.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas" and xyz1.shape[-1] == 3:
-        from dh3d_tpu.ops.pallas.knn_pallas import knn_pallas
+        from dh3d_tpu.ops.pallas.knn_pallas import knn_banded, knn_pallas
 
-        idx, d2 = knn_pallas(xyz1, xyz2, 3)
+        if window is not None and xyz1.shape[1] % 256 == 0 \
+                and window <= xyz2.shape[1]:
+            idx, d2 = knn_banded(xyz1, xyz2, 3, window=window)
+        else:
+            idx, d2 = knn_pallas(xyz1, xyz2, 3)
         return d2, idx
     qn = jnp.einsum("bnd,bmd->bnm", xyz1, xyz2,
                     precision="highest", preferred_element_type=jnp.float32)
@@ -39,12 +46,27 @@ def three_nn(xyz1, xyz2, impl="auto"):
     return -neg, idx.astype(jnp.int32)
 
 
-def three_interpolate(points, idx, weight):
+def three_interpolate(points, idx, weight, method="gather", tile=256,
+                      window=256, fast=True, assume_inband=False):
     """Weighted interpolation of 3 neighbors (`tf_interpolate.cpp:107-127`).
 
     points: [B, M, C] features of known points; idx/weight: [B, N, 3].
     Returns [B, N, C]: out[n] = sum_j weight[n,j] * points[idx[n,j]].
+    method='banded' uses the Morton-band one-hot-matmul kernel (P=1
+    weighted sum) instead of the XLA gather — the dominant cost of the
+    upsample at [20, 8192, 256] (docs/PERF_NOTES.md).
     """
+    B, M, C = points.shape
+    N = idx.shape[1]
+    if (method == "banded" and jax.default_backend() == "tpu"
+            and C >= 32 and N % tile == 0 and M % tile == 0
+            and M >= window):
+        from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
+
+        return banded_weighted_sum(
+            points, idx, weight[..., None], None, tile, window, fast,
+            False, assume_inband,
+        ).astype(points.dtype)
     gathered = jax.vmap(lambda p, i: p[i])(points, idx)  # [B,N,3,C]
     return jnp.einsum("bnj,bnjc->bnc", weight, gathered,
                       precision="highest", preferred_element_type=jnp.float32)

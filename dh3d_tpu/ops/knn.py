@@ -58,7 +58,8 @@ def _use_pallas(impl):
     return impl == "pallas"
 
 
-def knn_bruteforce(positions, k, chunk=None, impl="auto", mode="exact"):
+def knn_bruteforce(positions, k, chunk=None, impl="auto", mode="exact",
+                   window=None):
     """K nearest neighbors of every point within its own cloud.
 
     Args:
@@ -74,6 +75,12 @@ def knn_bruteforce(positions, k, chunk=None, impl="auto", mode="exact"):
         ~0.1%% relative, distances truncated to ~10 mantissa bits — the
         model's internal knn calls use this since only indices feed the
         graph).
+      window: if set (Morton fast path), restrict candidates to the
+        `window`-row Z-order band around each query tile — approximate
+        kNN whose indices are in-band by construction for the banded
+        neighborhood kernels (~96%% of true k=8 neighbors are in a
+        512-row band on Oxford clouds; the rest get the nearest in-band
+        candidates).  Requires Morton-sorted input, N %% 256 == 0.
 
     Returns:
       (indices [B, N, k] int32, distances [B, N, k] float) — ascending by
@@ -81,10 +88,15 @@ def knn_bruteforce(positions, k, chunk=None, impl="auto", mode="exact"):
       `knn_bruteforce_kernel.cc:52`.
     """
     if _use_pallas(impl) and positions.shape[-1] == 3:
-        from dh3d_tpu.ops.pallas.knn_pallas import knn_pallas
+        from dh3d_tpu.ops.pallas.knn_pallas import knn_banded, knn_pallas
 
-        idx, d2 = knn_pallas(positions, positions, k,
-                             packed=(mode == "fast"))
+        if window is not None and positions.shape[1] % 256 == 0 \
+                and window <= positions.shape[1]:
+            idx, d2 = knn_banded(positions, positions, k, window=window,
+                                 packed=(mode == "fast"))
+        else:
+            idx, d2 = knn_pallas(positions, positions, k,
+                                 packed=(mode == "fast"))
         return idx, jnp.sqrt(d2)
     return _knn_xla(positions, k, chunk)
 

@@ -1,0 +1,596 @@
+"""Banded neighborhood weighted-sum: the gather-wall kernel.
+
+Problem: every DH3D op that consumes a [B, N, K] neighborhood
+(flex_conv moments, flex_avg, conv_pointset, three_interpolate) is
+bottlenecked by XLA's per-element gather, which on this TPU sustains
+~62 GB/s and is *insensitive to index locality* (measured: random vs
+banded vs self indices all ~8.7 ms for a [20,8192,8,128] gather) — it is
+descriptor-issue-rate bound, not bandwidth bound.
+
+Fix: sort points along a Morton (Z-order) space-filling curve.  On Oxford
+clouds ~91% of k=8 neighbor indices then fall within ±128 rows of the
+query and ~96% within ±512 (measured across demo clouds; see
+docs/PERF_NOTES.md).  The weighted neighborhood sum
+
+    M[b, n, p, :] = sum_k w[b, n, k, p] * feat[b, nbh[b, n, k], :]
+
+splits into an IN-BAND part — computed by a Pallas kernel as K one-hot
+[T, W] x [W, C] matmuls against a contiguous feature window DMA'd into
+VMEM (the one-hot rows are exact in bf16, so the MXU does the "gather")
+— plus a sparse OUT-OF-BAND correction computed by XLA on a compacted
+fixed-capacity list of entries (3-9% of them), with a `lax.cond` fallback
+to the dense gather path in the (never-observed) case the capacity
+overflows, so the op is exact for any index distribution.
+
+Gradient: a custom VJP runs the transposed banded kernel (the band is
+symmetric).  Weights and neighborhood indices get zero cotangents — the
+reference CUDA kernels likewise have no position gradient
+(`user_ops/kernels/flex_conv_kernel_gpu.cu.cc` implements grads for
+theta/bias/features only).
+
+Sizes N (queries) and M (keys) may differ (three_interpolate); the window
+start then advances at rate M/N.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ALIGN = 128  # window starts align to the lane tile; also matches
+              # knn_pallas._win_start so banded-knn indices are
+              # in-band by construction for these kernels
+
+
+def _fwd_start(i, T, W, N, M):
+    """Window start (in key rows) for query tile i — static-int math."""
+    center = (2 * i * T + T) * M // (2 * N)  # tile center mapped to keys
+    start = jnp.clip(center - W // 2, 0, M - W)
+    return (start // _ALIGN) * _ALIGN
+
+
+def _starts_host(N, M, T, W):
+    """[N] per-query window start, mirroring `_fwd_start` (host/XLA)."""
+    i = jnp.arange(N, dtype=jnp.int32) // T
+    center = (2 * i * T + T) * M // (2 * N)
+    start = jnp.clip(center - W // 2, 0, M - W)
+    return (start // _ALIGN) * _ALIGN
+
+
+def _fwd_kernel(feat_hbm, idx_ref, w_ref, out_ref, f_win, sem, *,
+                T, W, K, P, N, M, C, win_dtype, prec):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    start = _fwd_start(i, T, W, N, M)
+    cp = pltpu.make_async_copy(feat_hbm.at[b, pl.ds(start, W), :],
+                               f_win, sem)
+    cp.start()
+    cp.wait()
+    colw = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    accs = [jnp.zeros((T, C), jnp.float32) for _ in range(P)]
+    fw = f_win[:, :]
+    for k in range(K):
+        rel = idx_ref[0, k, :] - start  # [T]; out-of-band never matches
+        oh = (colw == rel[:, None]).astype(win_dtype)
+        g = jnp.dot(oh, fw, preferred_element_type=jnp.float32,
+                    precision=prec)  # [T, C] == gathered rows
+        for p in range(P):
+            accs[p] = accs[p] + w_ref[0, p * K + k, :][:, None] * g
+    out_ref[0] = jnp.concatenate(accs, axis=-1)
+
+
+def _bwd_kernel(dmw_hbm, idx_ref, out_ref, dmw_win, sem, *,
+                T, W, WB, K, N, M, C, win_dtype, prec):
+    """Transpose: dfeat[j, :] = sum over in-band (n, k) with nbh==j of
+    dmw[n, k, :], where dmw[n, k, :] = sum_p w[n,k,p] * dM[n,p,:] is
+    pre-contracted OUTSIDE the kernel (an elementwise einsum — no gather),
+    so the kernel is K compares + K one-hot matmuls, same shape of work as
+    the forward.  Grid tiles run over KEY rows j; the window runs over
+    QUERY rows n (width WB = W + 2T, enough to cover every query whose
+    forward window contains j, clamped edges included).  The in-band test
+    is recomputed per entry from the forward window formula, so fwd/bwd
+    agree exactly."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    # reverse window over queries: center j*T mapped back at rate N/M
+    center = (2 * j * T + T) * N // (2 * M)
+    qstart = jnp.clip(center - WB // 2, 0, N - WB)
+    qstart = (qstart // _ALIGN) * _ALIGN
+    cp = pltpu.make_async_copy(dmw_hbm.at[b, pl.ds(qstart, WB), :],
+                               dmw_win, sem)
+    cp.start()
+    cp.wait()
+
+    j_ids = j * T + jax.lax.broadcasted_iota(jnp.int32, (T, WB), 0)
+    # forward window start of each query column n (absolute):
+    n_abs = qstart + jax.lax.broadcasted_iota(jnp.int32, (T, WB), 1)
+    fcenter = (2 * (n_abs // T) * T + T) * M // (2 * N)
+    fstart = jnp.clip(fcenter - W // 2, 0, M - W)
+    fstart = (fstart // _ALIGN) * _ALIGN
+    inband = (j_ids >= fstart) & (j_ids < fstart + W)
+
+    out = jnp.zeros((T, C), jnp.float32)
+    for k in range(K):
+        # slice the QUERY window out of the full [K, N] rows
+        # (qstart is _ALIGN=128-aligned, so the lane slice is provable)
+        idx_row = idx_ref[0, k, pl.ds(qstart, WB)][None, :]  # [1, WB]
+        oh = ((j_ids == idx_row) & inband).astype(win_dtype)
+        out = out + jnp.dot(
+            oh, dmw_win[:, k * C:(k + 1) * C],
+            preferred_element_type=jnp.float32, precision=prec)
+    out_ref[0] = out
+
+
+def _pad_c(x):
+    c = x.shape[-1]
+    pad = (-c) % 128
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+    return x, c, c + pad
+
+
+@functools.partial(jax.jit, static_argnames=("P", "T", "W", "fast",
+                                             "interpret"))
+def _banded_fwd_call(feat, idx_t, w_pk, P, T, W, fast, interpret):
+    B, M, C0 = feat.shape
+    N = idx_t.shape[-1]
+    K = idx_t.shape[1]
+    feat, C0, C = _pad_c(feat)
+    win_dtype = jnp.bfloat16 if fast else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+    if fast:
+        feat = feat.astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, T=T, W=W, K=K, P=P, N=N, M=M, C=C,
+                          win_dtype=win_dtype, prec=prec),
+        grid=(B, N // T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, K, T), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P * K, T), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, P * C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, P * C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((W, C), win_dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(feat, idx_t, w_pk)
+    if C != C0:
+        out = out.reshape(B, N, P, C)[..., :C0].reshape(B, N, P * C0)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("P", "T", "W", "WB", "M",
+                                             "fast", "interpret"))
+def _banded_bwd_call(dm, idx_t, weights, P, T, W, WB, M, fast, interpret):
+    """dm [B, N, P*C], weights [B, N, K, P] -> dfeat [B, M, C].
+
+    Pre-contracts weights into the cotangent (dmw[n,k,:] = sum_p w*dM —
+    an elementwise einsum, no gather) so the kernel does only K compares
+    + K one-hot matmuls per tile, like the forward."""
+    B, N, PC0 = dm.shape
+    K = idx_t.shape[1]
+    C0 = PC0 // P
+    dmw = jnp.einsum("bnkp,bnpc->bnkc", weights,
+                     dm.reshape(B, N, P, C0),
+                     preferred_element_type=jnp.float32)
+    # pad each K-block's C to 128 so in-kernel slices are lane-aligned
+    cpad = (-C0) % 128
+    if cpad:
+        dmw = jnp.pad(dmw, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+    C = C0 + cpad
+    dmw = dmw.reshape(B, N, K * C)
+    win_dtype = jnp.bfloat16 if fast else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+    if fast:
+        dmw = dmw.astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel, T=T, W=W, WB=WB, K=K, N=N,
+                          M=M, C=C, win_dtype=win_dtype, prec=prec),
+        grid=(B, M // T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, K, N), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, C), lambda b, j: (b, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((WB, K * C), dmw.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(dmw, idx_t)
+    return out[..., :C0]
+
+
+# ------------------- out-of-band correction (XLA, exact) -------------------
+
+def _oob_mask(nbh, starts, W):
+    s = starts[None, :, None]
+    return (nbh < s) | (nbh >= s + W)
+
+
+def _compact_oob(oob, cap):
+    """Fixed-capacity compaction of True entries of oob [B, NK].
+    Returns (entries [B, cap] int32 with -1 padding, count [B])."""
+    B, NK = oob.shape
+    pos = jnp.cumsum(oob, axis=1) - 1
+    slot = jnp.where(oob, pos, cap)  # non-oob -> dropped slot
+    comp = jnp.full((B, cap + 1), -1, jnp.int32)
+    comp = comp.at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], slot
+    ].set(jnp.broadcast_to(jnp.arange(NK, dtype=jnp.int32), (B, NK)),
+          mode="drop")
+    return comp[:, :cap], jnp.sum(oob, axis=1)
+
+
+def _oob_correction_fwd(feat, nbh, w, starts, W, cap):
+    """Exact contribution of out-of-band entries to M [B, N, P*C]."""
+    B, N, K = nbh.shape
+    P = w.shape[-1]
+    C = feat.shape[-1]
+    oob = _oob_mask(nbh, starts, W).reshape(B, N * K)
+    entries, count = _compact_oob(oob, cap)
+    valid = entries >= 0
+    q = jnp.where(valid, entries // K, 0)
+    k = jnp.where(valid, entries % K, 0)
+    j = jnp.take_along_axis(nbh.reshape(B, N * K),
+                            jnp.where(valid, entries, 0), axis=1)
+    f = jnp.take_along_axis(feat, j[..., None], axis=1)  # [B, cap, C]
+    ws = jnp.take_along_axis(
+        w.reshape(B, N * K, P), jnp.where(valid, entries, 0)[..., None],
+        axis=1)  # [B, cap, P]
+    ws = ws * valid[..., None]
+    contrib = (ws[..., :, None] * f[..., None, :]).reshape(B, -1, P * C)
+    corr = jnp.zeros((B, N, P * C), contrib.dtype)
+    corr = corr.at[jnp.arange(B)[:, None], q].add(contrib, mode="drop")
+    return corr, count
+
+
+def _oob_correction_bwd(dm, nbh, w, starts, W, cap, M):
+    """Exact out-of-band contribution to dfeat [B, M, C]."""
+    B, N, K = nbh.shape
+    P = w.shape[-1]
+    C = dm.shape[-1] // P
+    oob = _oob_mask(nbh, starts, W).reshape(B, N * K)
+    entries, _ = _compact_oob(oob, cap)
+    valid = entries >= 0
+    q = jnp.where(valid, entries // K, 0)
+    j = jnp.take_along_axis(nbh.reshape(B, N * K),
+                            jnp.where(valid, entries, 0), axis=1)
+    dmq = jnp.take_along_axis(dm, q[..., None], axis=1)  # [B, cap, P*C]
+    ws = jnp.take_along_axis(
+        w.reshape(B, N * K, P), jnp.where(valid, entries, 0)[..., None],
+        axis=1) * valid[..., None]
+    contrib = jnp.einsum("bep,bepc->bec", ws,
+                         dmq.reshape(B, -1, P, C))  # [B, cap, C]
+    dfeat = jnp.zeros((B, M, C), contrib.dtype)
+    dfeat = dfeat.at[jnp.arange(B)[:, None],
+                     jnp.where(valid, j, 0)].add(
+        contrib * valid[..., None], mode="drop")
+    return dfeat
+
+
+def _dense_fwd(feat, nbh, w):
+    f_k = jax.vmap(lambda v, i: v[i])(feat, nbh)  # [B,N,K,C]
+    B, N, K, C = f_k.shape
+    P = w.shape[-1]
+    return jnp.einsum("bnkp,bnkc->bnpc", w, f_k).reshape(B, N, P * C)
+
+
+def _dense_bwd(dm, nbh, w, M):
+    B, N, K = nbh.shape
+    P = w.shape[-1]
+    C = dm.shape[-1] // P
+    contrib = jnp.einsum("bnkp,bnpc->bnkc", w, dm.reshape(B, N, P, C))
+    flat_idx = (nbh + (jnp.arange(B, dtype=nbh.dtype) * M)[:, None, None])
+    out = jax.ops.segment_sum(contrib.reshape(-1, C),
+                              flat_idx.reshape(-1), num_segments=B * M)
+    return out.reshape(B, M, C)
+
+
+# ------------------------------ public op ------------------------------
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def banded_weighted_sum(features, nbh, weights, P=None, tile=256,
+                        window=512, fast=True, interpret=False,
+                        assume_inband=False):
+    """M[b,n,p,:] = sum_k weights[b,n,k,p] * features[b, nbh[b,n,k], :].
+
+    features [B, M, C]; nbh [B, N, K] int32; weights [B, N, K, P].
+    Returns [B, N, P*C] (p-major).  Exact for any index distribution
+    (in-band Pallas kernel + compacted out-of-band XLA correction with a
+    dense fallback on capacity overflow); `fast` rounds the in-band
+    feature window to bf16 (~1e-3 relative).  Requires N, M divisible by
+    `tile`; intended for Morton-ordered clouds where most neighbor
+    indices are near-diagonal (docs/PERF_NOTES.md).
+
+    Differentiable in `features` (transposed banded kernel).  `weights`
+    receives ZERO cotangent — reference parity: the CUDA flex kernels
+    implement no position gradient either (SURVEY.md §2.1 N2).
+
+    `assume_inband=True` skips the correction entirely — valid ONLY when
+    the caller guarantees every index is inside its window (e.g. indices
+    from `knn_pallas.knn_banded` with the same tile/window).
+    """
+    out, _ = _banded_fwd_impl(features, nbh, weights, P, tile, window,
+                              fast, interpret, assume_inband)
+    return out
+
+
+def _banded_fwd_impl(features, nbh, weights, P, tile, window, fast,
+                     interpret, assume_inband=False):
+    B, M, C = features.shape
+    N, K = nbh.shape[1], nbh.shape[2]
+    P = weights.shape[-1]
+    idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
+    w_pk = jnp.transpose(weights, (0, 3, 2, 1)).reshape(B, P * K, N)
+    w_pk = w_pk.astype(jnp.float32)
+    inband = _banded_fwd_call(features, idx_t, w_pk, P, tile, window,
+                              fast, interpret)
+    if assume_inband:
+        return inband, (features, nbh, weights)
+    starts = _starts_host(N, M, tile, window)
+    cap = max(256, (N * K) // 8)
+    corr, count = _oob_correction_fwd(features, nbh, weights, starts,
+                                      window, cap)
+    ok = jnp.all(count <= cap)
+    out = jax.lax.cond(
+        ok,
+        lambda: inband + corr,
+        lambda: _dense_fwd(features, nbh, weights),
+    )
+    return out, (features, nbh, weights)
+
+
+def _banded_vjp_fwd(features, nbh, weights, P, tile, window, fast,
+                    interpret, assume_inband):
+    return _banded_fwd_impl(features, nbh, weights, P, tile, window,
+                            fast, interpret, assume_inband)
+
+
+def _banded_vjp_bwd(P, tile, window, fast, interpret, assume_inband,
+                    res, dm):
+    features, nbh, weights = res
+    B, M, C = features.shape
+    N, K = nbh.shape[1], nbh.shape[2]
+    P = weights.shape[-1]
+    idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
+    WB = window + 2 * tile
+    if WB > N:
+        WB = N
+    dm = dm.astype(jnp.float32)
+    inband = _banded_bwd_call(dm, idx_t, weights.astype(jnp.float32),
+                              P, tile, window, WB, M, fast, interpret)
+    if assume_inband:
+        return inband.astype(features.dtype), None, \
+            jnp.zeros_like(weights)
+    starts = _starts_host(N, M, tile, window)
+    cap = max(256, (N * K) // 8)
+    oob = _oob_mask(nbh, starts, window)
+    count = jnp.sum(oob.reshape(B, -1), axis=1)
+    ok = jnp.all(count <= cap)
+    dfeat = jax.lax.cond(
+        ok,
+        lambda: inband + _oob_correction_bwd(dm, nbh, weights, starts,
+                                             window, cap, M),
+        lambda: _dense_bwd(dm, nbh, weights, M),
+    )
+    return dfeat.astype(features.dtype), None, jnp.zeros_like(weights)
+
+
+banded_weighted_sum.defvjp(_banded_vjp_fwd, _banded_vjp_bwd)
+
+
+# ----------------------------- banded max-pool -----------------------------
+
+_NEG = -3.0e38
+
+
+def _max_kernel(feat_hbm, idx_ref, out_ref, arg_ref, f_win, sem, *,
+                T, W, K, N, M, C, win_dtype):
+    """In-band neighborhood max + argmax (global key ids).  Ties keep the
+    lowest k, like the reference CPU kernel's strict `>` update
+    (`flex_pool_kernel.cc:44-49`)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    start = _fwd_start(i, T, W, N, M)
+    cp = pltpu.make_async_copy(feat_hbm.at[b, pl.ds(start, W), :],
+                               f_win, sem)
+    cp.start()
+    cp.wait()
+    colw = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    fw = f_win[:, :]
+    best = jnp.full((T, C), _NEG, jnp.float32)
+    arg = jnp.full((T, C), -1, jnp.int32)
+    for k in range(K):
+        ids = idx_ref[0, k, :]                    # [T] global key ids
+        rel_col = (ids - start)[:, None]          # int32 [T, 1]
+        # (bool [:, None] inserts a minor dim on an i1 vector, which
+        # Mosaic only supports for 32-bit types — keep the insert on int32)
+        inband_col = (rel_col >= 0) & (rel_col < W)
+        oh = (colw == rel_col).astype(win_dtype)
+        g = jnp.dot(oh, fw, preferred_element_type=jnp.float32)  # [T, C]
+        g = jnp.where(inband_col, g, _NEG)
+        take = g > best
+        arg = jnp.where(take, ids[:, None], arg)
+        best = jnp.maximum(best, g)
+    out_ref[0] = best
+    arg_ref[0] = arg
+
+
+@functools.partial(jax.jit, static_argnames=("T", "W", "fast",
+                                             "interpret"))
+def _banded_max_call(feat, idx_t, T, W, fast, interpret):
+    B, M, C0 = feat.shape
+    N, K = idx_t.shape[2], idx_t.shape[1]
+    feat, C0, C = _pad_c(feat)
+    win_dtype = jnp.bfloat16 if fast else jnp.float32
+    if fast:
+        feat = feat.astype(jnp.bfloat16)
+    val, arg = pl.pallas_call(
+        functools.partial(_max_kernel, T=T, W=W, K=K, N=N, M=M, C=C,
+                          win_dtype=win_dtype),
+        grid=(B, N // T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, K, T), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, C), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((W, C), win_dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(feat, idx_t)
+    return val[..., :C0], arg[..., :C0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def banded_max(features, nbh, tile=256, window=512, fast=True,
+               interpret=False, assume_inband=False):
+    """Neighborhood max-pool via the banded kernel.
+
+    features [B, M, C], nbh [B, N, K] -> (out [B, N, C],
+    argmax [B, N, C] int32 global key ids).  Exact for any index
+    distribution (out-of-band entries corrected by a scatter-max on the
+    compacted list; dense fallback on capacity overflow).  `fast` rounds
+    the in-band window to bf16.  On exact float ties between an in-band
+    and an out-of-band candidate the in-band one wins (reference takes the
+    lowest k) — gradient routing differs only on exact ties.
+
+    VJP scatters the output cotangent to the argmax rows (the reference
+    CUDA kernel's atomicAdd scatter, done as a deterministic segment-sum).
+    """
+    out, _ = _banded_max_impl(features, nbh, tile, window, fast,
+                              interpret, assume_inband)
+    return out
+
+
+def _banded_max_impl(features, nbh, tile, window, fast, interpret,
+                     assume_inband=False):
+    B, M, C = features.shape
+    N, K = nbh.shape[1], nbh.shape[2]
+    idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
+    val, arg = _banded_max_call(features, idx_t, tile, window, fast,
+                                interpret)
+    if assume_inband:
+        return (val, arg), (arg, features)
+    starts = _starts_host(N, M, tile, window)
+    cap = max(256, (N * K) // 8)
+    oob = _oob_mask(nbh, starts, window).reshape(B, N * K)
+    entries, count = _compact_oob(oob, cap)
+    valid = entries >= 0
+    q = jnp.where(valid, entries // K, 0)
+    j = jnp.take_along_axis(nbh.reshape(B, N * K),
+                            jnp.where(valid, entries, 0), axis=1)
+    f = jnp.take_along_axis(features, j[..., None], axis=1)  # [B,cap,C]
+    f = jnp.where(valid[..., None], f, _NEG).astype(jnp.float32)
+
+    def corrected():
+        vmax = val.at[jnp.arange(B)[:, None], q].max(f, mode="drop")
+        # argmax among oob candidates achieving the final max (lowest id)
+        amax = jnp.full_like(arg, jnp.int32(2**31 - 1))
+        vq = jnp.take_along_axis(vmax, q[..., None], axis=1)
+        cand = jnp.where((f >= vq) & valid[..., None],
+                         j[..., None], jnp.int32(2**31 - 1))
+        amax = amax.at[jnp.arange(B)[:, None], q].min(cand, mode="drop")
+        a = jnp.where(vmax > val, amax, arg)
+        return vmax, a
+
+    def dense():
+        f_k = jax.vmap(lambda v, i: v[i])(features.astype(jnp.float32),
+                                          nbh)  # [B,N,K,C]
+        v = jnp.max(f_k, axis=2)
+        slot = jnp.argmax(f_k, axis=2)
+        a = jnp.take_along_axis(
+            nbh[..., None].astype(jnp.int32),
+            slot[:, :, None, :].astype(jnp.int32), axis=2)[:, :, 0, :]
+        return v, a
+
+    ok = jnp.all(count <= cap)
+    v, a = jax.lax.cond(ok, corrected, dense)
+    # residual: argmax routes the cotangent; `features` rides along only
+    # for its (static) shape/dtype — residual leaves must be JAX types
+    return (v, a), (a, features)
+
+
+def _banded_max_vjp_fwd(features, nbh, tile, window, fast, interpret,
+                        assume_inband):
+    return _banded_max_impl(features, nbh, tile, window, fast, interpret,
+                            assume_inband)
+
+
+def _banded_max_vjp_bwd(tile, window, fast, interpret, assume_inband,
+                        res, ct):
+    arg, features = res
+    fdtype = features.dtype
+    dval = ct[0]  # cotangent of out; argmax cotangent ignored (int)
+    B, M, C = features.shape
+    N = arg.shape[1]
+    safe_arg = jnp.maximum(arg, 0)
+    dval = jnp.where(arg >= 0, dval, 0.0)
+    ids = (safe_arg
+           + (jnp.arange(B, dtype=jnp.int32) * M)[:, None, None]) * C \
+        + jnp.arange(C, dtype=jnp.int32)[None, None, :]
+    flat = jax.ops.segment_sum(
+        dval.reshape(-1), ids.reshape(-1), num_segments=B * M * C)
+    return flat.reshape(B, M, C).astype(fdtype), None
+
+
+banded_max.defvjp(_banded_max_vjp_fwd, _banded_max_vjp_bwd)
+
+
+# ------------------------------ Morton order ------------------------------
+
+def morton_codes(points, bits=10):
+    """[B, N, 3] -> [B, N] uint32 Z-order codes (bits per axis <= 10;
+    the 30-bit code fits uint32, so this works with x64 disabled)."""
+    assert bits <= 10
+    lo = jnp.min(points, axis=1, keepdims=True)
+    hi = jnp.max(points, axis=1, keepdims=True)
+    scale = (2 ** bits - 1) / jnp.maximum(hi - lo, 1e-9)
+    q = jnp.clip((points - lo) * scale, 0, 2 ** bits - 1).astype(jnp.uint32)
+
+    def spread(x):  # classic 10-bit -> 30-bit interleave in 32 bits
+        x = x & jnp.uint32(0x3FF)
+        x = (x | (x << 16)) & jnp.uint32(0x30000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x30C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x9249249)
+        return x
+
+    code = (spread(q[..., 0]) | (spread(q[..., 1]) << jnp.uint32(1))
+            | (spread(q[..., 2]) << jnp.uint32(2)))
+    return code
+
+
+def morton_perm(points, bits=10):
+    """Permutation sorting each cloud along the Z-order curve.
+    Returns (perm [B, N] int32, inv_perm [B, N] int32):
+    sorted = x[perm]; original = sorted[inv_perm]."""
+    code = morton_codes(points, bits)
+    perm = jnp.argsort(code, axis=1).astype(jnp.int32)
+    B, N = perm.shape
+    inv = jnp.zeros_like(perm)
+    inv = inv.at[jnp.arange(B)[:, None], perm].set(
+        jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N)))
+    return perm, inv

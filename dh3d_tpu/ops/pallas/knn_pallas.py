@@ -96,6 +96,118 @@ def _knn_kernel(q_ref, keys_ref, idx_ref, dist_ref, *, k):
     dist_ref[0] = jnp.stack(dists, axis=1)
 
 
+def _win_start(i, tq, W, NQ, NK):
+    """Morton-band window start for query tile i — MUST match
+    `banded_pallas._fwd_start` (with _ALIGN=128) so that banded-knn
+    neighbor indices are in-band by construction for the banded
+    neighborhood ops."""
+    center = (2 * i * tq + tq) * NK // (2 * NQ)
+    start = jnp.clip(center - W // 2, 0, NK - W)
+    return (start // 128) * 128
+
+
+def _knn_kernel_banded(q_ref, keys_ref, idx_ref, dist_ref, *, k, W,
+                       NQ, NK, packed, idx_bits):
+    """Banded (approximate) kNN: candidates restricted to the Morton
+    window of W key rows around the query tile.  With Morton-sorted
+    clouds ~96% of true k=8 neighbors lie within a 512-row window
+    (docs/PERF_NOTES.md); the remaining slots take the nearest in-band
+    candidates instead — and every returned index is in-band by
+    construction, which lets the banded neighborhood kernels skip their
+    out-of-band correction entirely."""
+    i = pl.program_id(1)
+    tq = q_ref.shape[2]
+    start = _win_start(i, tq, W, NQ, NK)
+
+    d2 = jnp.zeros((tq, W), jnp.float32)
+    for d in range(3):
+        qcol = q_ref[0, d, :][:, None]
+        krow = keys_ref[0, d, pl.ds(start, W)][None, :]
+        diff = qcol - krow
+        d2 = d2 + diff * diff
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tq, W), 1)
+    if packed:
+        mask = jnp.int32(~((1 << idx_bits) - 1))
+        bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
+        keys = jax.lax.bitwise_or(jax.lax.bitwise_and(bits, mask), lanes)
+        idxs, dists = [], []
+        for _ in range(k):
+            mk = jnp.min(keys, axis=1)
+            amin = jax.lax.bitwise_and(mk, jnp.int32((1 << idx_bits) - 1))
+            val = jax.lax.bitcast_convert_type(
+                jax.lax.bitwise_and(mk, mask), jnp.float32)
+            idxs.append(amin + start)
+            dists.append(val)
+            keys = jnp.where(keys == mk[:, None], jnp.int32(0x7FFFFFFF),
+                             keys)
+    else:
+        idxs, dists = [], []
+        for _ in range(k):
+            m = jnp.min(d2, axis=1)
+            amin = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            idxs.append(amin + start)
+            dists.append(m)
+            d2 = jnp.where(lanes == amin[:, None], jnp.inf, d2)
+
+    idx_ref[0] = jnp.stack(idxs, axis=1)
+    dist_ref[0] = jnp.stack(dists, axis=1)
+
+
+def knn_banded(query, keys, k, window=512, tile_q=256, packed=True,
+               interpret=False):
+    """Morton-banded approximate kNN (see `_knn_kernel_banded`).
+
+    query [B, N, 3], keys [B, M, 3] MUST be Morton-sorted (same cloud or
+    query/key pair sorted along the same curve); N % tile_q == 0,
+    window % 128 == 0, window <= M.  Returns (idx [B, N, k] int32 into
+    keys, d2 [B, N, k] squared distances ascending).
+    """
+    query = query.astype(jnp.float32)
+    keys = keys.astype(jnp.float32)
+    B, N, _ = query.shape
+    M = keys.shape[1]
+    assert N % tile_q == 0 and window % 128 == 0 and window <= M, (
+        N, M, window, tile_q)
+    return _knn_banded_call(query, keys, k, window, tile_q, packed,
+                            interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "tile_q",
+                                             "packed", "interpret"))
+def _knn_banded_call(query, keys, k, window, tile_q, packed, interpret):
+    B, N, _ = query.shape
+    M = keys.shape[1]
+    q_t = jnp.transpose(query, (0, 2, 1))
+    keys_t = jnp.transpose(keys, (0, 2, 1))
+    idx_bits = max(13, (window - 1).bit_length())
+    kernel = functools.partial(
+        _knn_kernel_banded, k=k, W=window, NQ=N, NK=M, packed=packed,
+        idx_bits=idx_bits)
+    idx, d2 = pl.pallas_call(
+        kernel,
+        grid=(B, N // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, M), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, N, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_t, keys_t)
+    return idx, d2
+
+
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
 
 

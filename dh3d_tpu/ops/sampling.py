@@ -78,14 +78,19 @@ def prob_sample(inp, inp_r):
     return jnp.clip(idx, 0, inp.shape[-1] - 1).astype(jnp.int32)
 
 
-def subsample(points, feat, targetnum, kp_idx=None):
+def subsample(points, feat, targetnum, kp_idx=None, sorted_order=False):
     """FPS (or provided indices) + gather of xyz and features.
 
     Mirrors `core/tf_utils.py:86-96`.  kp_idx: [B, M] or [B, M, 1] int.
+    `sorted_order=True` returns the FPS selection in ascending-index order
+    (preserves the parent's Morton order for the banded kernels; the
+    selected SET is identical).
     Returns (xyz_sampled [B,M,3], feat_sampled [B,M,C], kp_indices [B,M]).
     """
     if kp_idx is None:
         kp_indices = farthest_point_sample(points, targetnum)
+        if sorted_order:
+            kp_indices = jnp.sort(kp_indices, axis=-1)
     else:
         kp_indices = kp_idx.reshape(kp_idx.shape[0], -1)
     return (

@@ -229,3 +229,39 @@ def test_nms_keypoint_indices_backends_agree(rng):
     idx = nms_keypoint_indices(xyz, att, 0.5, 0.01, 40,
                                backend="device", parity_check=True)
     assert len(idx) > 0
+
+
+def test_repeatability_pairs_protocol(rng):
+    """GT-pose-pair repeatability on partial-overlap crops: a
+    rigid-invariant detector (local density) must be highly repeatable in
+    the shared region, and the warp math must use the provided GT pose."""
+    from sklearn.neighbors import NearestNeighbors
+
+    from dh3d_tpu.eval.repeatability import (
+        make_partial_overlap_pairs,
+        repeatability_curve_pairs,
+    )
+
+    # structured cloud: grid + clusters, so density attention is stable
+    base = rng.randn(4000, 3) * np.array([4, 4, 1])
+    pairs = make_partial_overlap_pairs([base], numpts=1024, keep=0.85,
+                                       jitter=0.005, seed=0)
+    assert len(pairs) == 1
+    c1, c2, R, t = pairs[0]
+    assert c1.shape == (1024, 3) and c2.shape == (1024, 3)
+    # GT transform maps the overlap region of c1 onto c2's region
+    warped = c1 @ R.T + t
+    d = np.linalg.norm(warped[:, None, :2] - c2[None, :, :2], axis=-1)
+    assert np.median(d.min(axis=1)) < 1.0  # overlap exists under GT pose
+
+    def extract(cloud):
+        nbrs = NearestNeighbors(n_neighbors=9).fit(cloud)
+        dist, _ = nbrs.kneighbors(cloud)
+        att = 1.0 / (1e-3 + dist[:, -1])  # local density (rigid-invariant)
+        return cloud, att / att.max()
+
+    curve = repeatability_curve_pairs(extract, pairs, ks=(32, 64),
+                                      radius=1.0)
+    assert set(curve) == {32, 64}
+    assert all(0.0 <= v <= 1.0 for v in curve.values())
+    assert curve[32] > 0.3, curve  # density peaks recur in the overlap

@@ -172,3 +172,77 @@ def test_remat_backbone_matches():
     np.testing.assert_allclose(
         np.asarray(outs1["local_desc"]), np.asarray(outs2["local_desc"]),
         atol=1e-6)
+
+
+def test_morton_order_permutation_invariance(rng):
+    """cfg.morton_order sorts points into a canonical Z-order internally,
+    which makes the forward INVARIANT to input point order (unlike the
+    reference, where FPS seeding depends on it): permuting the input rows
+    just permutes the outputs."""
+    import jax
+
+    from dh3d_tpu import config as cfglib
+    from dh3d_tpu.nn import DH3D
+
+    cfg = cfglib.get_config("global_config")
+    cfg.num_points = 64
+    cfg.detection = True
+    cfg.detection_block = "detection_block"
+    cfg.sampled_kpnum = -1
+    cfg.morton_order = True
+    model = DH3D(cfg)
+    pts = rng.randn(2, 64, 3).astype(np.float32) * 10
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                           train=False)
+    o1 = model.apply(variables, jnp.asarray(pts), train=False)
+
+    perm = np.stack([rng.permutation(64) for _ in range(2)])
+    pts_p = np.stack([pts[b][perm[b]] for b in range(2)])
+    o2 = model.apply(variables, jnp.asarray(pts_p), train=False)
+
+    for key in ("local_desc", "attention"):
+        a = np.asarray(o1[key])
+        b = np.asarray(o2[key])
+        a_p = np.stack([a[i][perm[i]] for i in range(2)])
+        np.testing.assert_allclose(b, a_p, atol=2e-4, err_msg=key)
+    np.testing.assert_allclose(np.asarray(o1["global_desc"]),
+                               np.asarray(o2["global_desc"]), atol=2e-4)
+
+
+def test_morton_order_train_step(rng):
+    """Train step with morton_order on: finite, decreasing loss (sorted
+    space end-to-end; losses are permutation-equivariant)."""
+    import jax
+
+    from dh3d_tpu import config as cfglib
+    from dh3d_tpu import train as trainlib
+
+    N, KP = 64, 8
+    cfg = cfglib.get_config("detection_config")
+    cfg.num_points = N
+    cfg.sampled_kpnum = KP
+    cfg.batch_size = 2
+    cfg.morton_order = True
+    cfg.start_lr = 1e-3
+
+    pc1 = rng.randn(2, N, 3).astype(np.float32) * 5
+    ang = rng.uniform(-np.pi, np.pi, 2)
+    R = np.stack([
+        np.array([[np.cos(a), np.sin(a), 0],
+                  [-np.sin(a), np.cos(a), 0], [0, 0, 1]], np.float32)
+        for a in ang])
+    pc2 = np.einsum("bnd,bde->bne", pc1 + rng.randn(2, N, 3) * 0.01, R)
+    anc = np.stack([rng.choice(N, KP, replace=False) for _ in range(2)])
+    batch = {
+        "points": jnp.asarray(np.concatenate([pc1, pc2.astype(np.float32)])),
+        "sample_inds": jnp.asarray(np.concatenate([anc, anc]).astype(np.int32)),
+        "R": jnp.asarray(R),
+    }
+    state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step = trainlib.make_train_step(cfg)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, batch)
+        losses.append(float(m["total_cost"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
