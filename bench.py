@@ -91,7 +91,7 @@ def bench_forward(jax, jnp, B=20, N=8192, iters=30, morton=False):
     return B / dt
 
 
-def bench_train_step(jax, jnp, B=10, N=8192, iters=10):
+def bench_train_step(jax, jnp, B=10, N=8192, iters=10, morton=False):
     """Full train step (detection config: local + detector losses,
     fwd + bwd + Adam) at the reference batch (10 pairs = 20 clouds)."""
     from dh3d_tpu import config as cfglib
@@ -102,6 +102,7 @@ def bench_train_step(jax, jnp, B=10, N=8192, iters=10):
     cfg.num_points = N
     cfg.sampled_kpnum = KP
     cfg.batch_size = B
+    cfg.morton_order = morton
 
     rng = np.random.RandomState(0)
     pc1 = rng.randn(B, N, 3).astype(np.float32) * 20
@@ -186,6 +187,7 @@ def main():
     fwd_fast = bench_forward(jax, jnp, morton=True)
     # reference-parity path (exact XLA-gather ops, unsorted)
     fwd_parity = bench_forward(jax, jnp, morton=False)
+    train_fast = bench_train_step(jax, jnp, morton=True)
     train_cps = bench_train_step(jax, jnp)
     knn_ms = bench_knn(jax, jnp)
     flex_ms = bench_flex_conv(jax, jnp)
@@ -201,6 +203,8 @@ def main():
                 "vs_baseline": round(fwd_fast / 100.0, 2),
                 "extra": {
                     "fwd_parity_mode_clouds_per_sec": round(fwd_parity, 1),
+                    "train_step_morton_clouds_per_sec@20x8192":
+                        round(train_fast, 1),
                     "train_step_clouds_per_sec@20x8192": round(train_cps, 1),
                     "knn_k8_ms@20x8192": round(knn_ms, 2),
                     "flex_conv_64x64_ms@20x8192": round(flex_ms, 2),

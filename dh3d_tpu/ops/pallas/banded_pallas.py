@@ -177,11 +177,22 @@ def _banded_bwd_call(dm, idx_t, weights, P, T, W, WB, M, fast, interpret):
     an elementwise einsum, no gather) so the kernel does only K compares
     + K one-hot matmuls per tile, like the forward."""
     B, N, PC0 = dm.shape
-    K = idx_t.shape[1]
     C0 = PC0 // P
     dmw = jnp.einsum("bnkp,bnpc->bnkc", weights,
                      dm.reshape(B, N, P, C0),
                      preferred_element_type=jnp.float32)
+    return _bwd_from_dmw(dmw, idx_t, T, W, WB, M, fast, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "W", "WB", "M", "fast",
+                                             "interpret"))
+def _bwd_from_dmw(dmw, idx_t, T, W, WB, M, fast, interpret):
+    """Transpose-scatter of a per-(query, k) cotangent:
+    dfeat[j, :] = sum over in-band (n, k) with nbh[n,k]==j of dmw[n,k,:].
+    dmw [B, N, K, C0] -> dfeat [B, M, C0].  Shared by the weighted-sum
+    VJP (dmw = w-contracted dM) and the max-pool VJP (dmw = slot-masked
+    dval)."""
+    B, N, K, C0 = dmw.shape
     # pad each K-block's C to 128 so in-kernel slices are lane-aligned
     cpad = (-C0) % 128
     if cpad:
@@ -397,10 +408,11 @@ banded_weighted_sum.defvjp(_banded_vjp_fwd, _banded_vjp_bwd)
 _NEG = -3.0e38
 
 
-def _max_kernel(feat_hbm, idx_ref, out_ref, arg_ref, f_win, sem, *,
-                T, W, K, N, M, C, win_dtype):
-    """In-band neighborhood max + argmax (global key ids).  Ties keep the
-    lowest k, like the reference CPU kernel's strict `>` update
+def _max_kernel(feat_hbm, idx_ref, out_ref, arg_ref, slot_ref, f_win,
+                sem, *, T, W, K, N, M, C, win_dtype):
+    """In-band neighborhood max + argmax (global key ids) + arg slot
+    (neighborhood position k, used by the VJP).  Ties keep the lowest k,
+    like the reference CPU kernel's strict `>` update
     (`flex_pool_kernel.cc:44-49`)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -413,6 +425,7 @@ def _max_kernel(feat_hbm, idx_ref, out_ref, arg_ref, f_win, sem, *,
     fw = f_win[:, :]
     best = jnp.full((T, C), _NEG, jnp.float32)
     arg = jnp.full((T, C), -1, jnp.int32)
+    slot = jnp.full((T, C), -1, jnp.int32)
     for k in range(K):
         ids = idx_ref[0, k, :]                    # [T] global key ids
         rel_col = (ids - start)[:, None]          # int32 [T, 1]
@@ -424,9 +437,11 @@ def _max_kernel(feat_hbm, idx_ref, out_ref, arg_ref, f_win, sem, *,
         g = jnp.where(inband_col, g, _NEG)
         take = g > best
         arg = jnp.where(take, ids[:, None], arg)
+        slot = jnp.where(take, k, slot)
         best = jnp.maximum(best, g)
     out_ref[0] = best
     arg_ref[0] = arg
+    slot_ref[0] = slot
 
 
 @functools.partial(jax.jit, static_argnames=("T", "W", "fast",
@@ -438,7 +453,7 @@ def _banded_max_call(feat, idx_t, T, W, fast, interpret):
     win_dtype = jnp.bfloat16 if fast else jnp.float32
     if fast:
         feat = feat.astype(jnp.bfloat16)
-    val, arg = pl.pallas_call(
+    val, arg, slot = pl.pallas_call(
         functools.partial(_max_kernel, T=T, W=W, K=K, N=N, M=M, C=C,
                           win_dtype=win_dtype),
         grid=(B, N // T),
@@ -452,16 +467,19 @@ def _banded_max_call(feat, idx_t, T, W, fast, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, C), jnp.int32),
             jax.ShapeDtypeStruct((B, N, C), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((W, C), win_dtype),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(feat, idx_t)
-    return val[..., :C0], arg[..., :C0]
+    return val[..., :C0], arg[..., :C0], slot[..., :C0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -490,10 +508,13 @@ def _banded_max_impl(features, nbh, tile, window, fast, interpret,
     B, M, C = features.shape
     N, K = nbh.shape[1], nbh.shape[2]
     idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
-    val, arg = _banded_max_call(features, idx_t, tile, window, fast,
-                                interpret)
+    val, arg, slot = _banded_max_call(features, idx_t, tile, window, fast,
+                                      interpret)
     if assume_inband:
-        return (val, arg), (arg, features)
+        # in-band VJP routes through the banded transpose kernel using
+        # the slot mask (no giant segment-sum); assume_inband is static,
+        # so the bwd knows the residual layout
+        return (val, arg), (slot, nbh, features)
     starts = _starts_host(N, M, tile, window)
     cap = max(256, (N * K) // 8)
     oob = _oob_mask(nbh, starts, window).reshape(B, N * K)
@@ -530,7 +551,7 @@ def _banded_max_impl(features, nbh, tile, window, fast, interpret,
     v, a = jax.lax.cond(ok, corrected, dense)
     # residual: argmax routes the cotangent; `features` rides along only
     # for its (static) shape/dtype — residual leaves must be JAX types
-    return (v, a), (a, features)
+    return (v, a), (a, nbh, features)
 
 
 def _banded_max_vjp_fwd(features, nbh, tile, window, fast, interpret,
@@ -541,11 +562,29 @@ def _banded_max_vjp_fwd(features, nbh, tile, window, fast, interpret,
 
 def _banded_max_vjp_bwd(tile, window, fast, interpret, assume_inband,
                         res, ct):
-    arg, features = res
+    arg_or_slot, nbh, features = res
     fdtype = features.dtype
     dval = ct[0]  # cotangent of out; argmax cotangent ignored (int)
     B, M, C = features.shape
-    N = arg.shape[1]
+    N = arg_or_slot.shape[1]
+    if assume_inband:
+        # dmk[n, k, :] = dval[n, :] masked to the winning slot k — then
+        # the shared banded transpose kernel scatters it to dfeat
+        slot = arg_or_slot
+        K = nbh.shape[2]
+        dval = jnp.where(slot >= 0, dval, 0.0)
+        dmk = (dval[:, :, None, :]
+               * (slot[:, :, None, :]
+                  == jnp.arange(K, dtype=jnp.int32)[None, None, :, None]
+                  ).astype(dval.dtype))  # [B, N, K, C]
+        idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
+        WB = window + 2 * tile
+        if WB > N:
+            WB = N
+        dfeat = _bwd_from_dmw(dmk.astype(jnp.float32), idx_t, tile,
+                              window, WB, M, fast, interpret)
+        return dfeat.astype(fdtype), None
+    arg = arg_or_slot
     safe_arg = jnp.maximum(arg, 0)
     dval = jnp.where(arg >= 0, dval, 0.0)
     ids = (safe_arg

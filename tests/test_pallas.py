@@ -250,3 +250,35 @@ def test_banded_weighted_sum_grad_windowed(rng):
     g_d = jax.grad(f_dense)(jnp.asarray(feat))
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_banded_max_grad_inband(rng):
+    """assume_inband max VJP (slot-masked banded transpose) == dense VJP
+    when all indices are in-band."""
+    import jax
+
+    from dh3d_tpu.ops.pallas.banded_pallas import (
+        _starts_host,
+        banded_max,
+    )
+
+    B, N, K, C, T, W = 1, 512, 4, 32, 128, 128
+    feat = rng.randn(B, N, C).astype(np.float32)
+    starts = np.asarray(_starts_host(N, N, T, W))
+    # indices strictly inside each query's window
+    nbh = (starts[None, :, None]
+           + rng.randint(0, W, (B, N, K))).astype(np.int32)
+    dv = rng.randn(B, N, C).astype(np.float32)
+
+    def f_banded(x):
+        v, _ = banded_max(x, jnp.asarray(nbh), T, W, False, True, True)
+        return jnp.vdot(v, jnp.asarray(dv))
+
+    def f_dense(x):
+        f_k = jax.vmap(lambda v, i: v[i])(x, jnp.asarray(nbh))
+        return jnp.vdot(jnp.max(f_k, axis=2), jnp.asarray(dv))
+
+    g_b = jax.grad(f_banded)(jnp.asarray(feat))
+    g_d = jax.grad(f_dense)(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d),
+                               rtol=1e-5, atol=1e-5)
