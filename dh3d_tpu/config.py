@@ -83,6 +83,7 @@ def basic_config():
         # and use the banded one-hot-matmul kernels instead of XLA gathers
         # (TPU fast path; exact via out-of-band correction)
         morton_order=False,
+        grad_clip_norm=None,      # optional global-norm gradient clip
     )
 
 

@@ -232,7 +232,11 @@ def knn_pallas(query, keys, k, tile_q=256, interpret=False, packed=False):
                        constant_values=1e30)
         N = N + n_pad
 
-    while tile_q > 8 and tile_q * N * 4 > _VMEM_BUDGET:
+    # large k keeps more live copies of the [TQ, N] distance tile in the
+    # unrolled extraction (measured: k=50 at TQ=256, N=4096 hits the 16 MB
+    # scoped-vmem limit) — shrink the query tile accordingly
+    budget = _VMEM_BUDGET if k < 32 else 3 * 1024 * 1024
+    while tile_q > 8 and tile_q * N * 4 > budget:
         tile_q //= 2
     tile_q = min(tile_q, max(8, M))
     m_pad = (-M) % tile_q

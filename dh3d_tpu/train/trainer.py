@@ -84,6 +84,12 @@ def param_labels(cfg, params):
 
 def make_optimizer(cfg, params):
     tx = optax.adam(lr_schedule(cfg))
+    if cfg.get("grad_clip_norm"):
+        # optional stabilizer for tiny-dataset stage-3 runs (see
+        # RESULTS.md: quadruplet loss oscillates on the 21-sample demo GT)
+        tx = optax.chain(
+            optax.clip_by_global_norm(float(cfg["grad_clip_norm"])), tx
+        )
     labels = param_labels(cfg, params)
     if any(
         leaf == "frozen" for leaf in jax.tree_util.tree_leaves(labels)

@@ -112,6 +112,11 @@ def main():
     parser.add_argument("--device_pairgen", action="store_true",
                         help="generate local-pair rotation/anchors/"
                              "correspondences inside the jitted step")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="override any config key (JSON-parsed value),"
+                             " e.g. --set grad_clip_norm=1.0 "
+                             "--set morton_order=true")
     args = parser.parse_args()
 
     import jax
@@ -127,6 +132,13 @@ def main():
             cfg[key] = getattr(args, key)
     if args.device_pairgen:
         cfg.device_pairgen = True
+    for kv in args.set:
+        key, _, value = kv.partition("=")
+        try:
+            cfg[key] = json.loads(value)
+        except json.JSONDecodeError:
+            cfg[key] = value
+        print(f"config override: {key} = {cfg[key]!r}")
 
     logdir = args.logdir or os.path.join(
         "train_log", f"{args.cfg}_{time.strftime('%m%d-%H%M%S')}"
