@@ -1,4 +1,8 @@
 from dh3d_tpu.eval.extract import extract_global, extract_local  # noqa: F401
+from dh3d_tpu.eval.matlab_extras import (  # noqa: F401
+    find_point_normals,
+    prec_rec,
+)
 from dh3d_tpu.eval.nms import (  # noqa: F401
     device_nms,
     nms_keypoint_indices,

@@ -265,3 +265,44 @@ def test_repeatability_pairs_protocol(rng):
     assert set(curve) == {32, 64}
     assert all(0.0 <= v <= 1.0 for v in curve.values())
     assert curve[32] > 0.3, curve  # density peaks recur in the overlap
+
+
+def test_find_point_normals_plane(rng):
+    """Points on a tilted plane -> normals match the plane normal, tiny
+    curvature; orientation flips toward the view point."""
+    from dh3d_tpu.eval import find_point_normals
+
+    n_true = np.array([1.0, 2.0, 2.0])
+    n_true /= np.linalg.norm(n_true)
+    basis = np.linalg.svd(n_true[None])[2][1:]  # 2 in-plane directions
+    uv = rng.randn(300, 2) * 5
+    pts = uv @ basis + rng.randn(300, 3) * 1e-4
+    # full-dot orientation: unambiguous for a far-above viewpoint
+    normals, curv = find_point_normals(pts, view_point=(0, 0, 100),
+                                       dir_largest=False)
+    dots = normals @ n_true
+    assert np.mean(np.abs(dots) > 0.99) > 0.95
+    # oriented toward the viewpoint above the plane (+z side)
+    assert np.mean(normals[:, 2] > 0) > 0.95
+    assert np.median(curv) < 1e-4
+    # dirLargest mode (MATLAB default): still unit plane normals
+    n2, _ = find_point_normals(pts, view_point=(0, 0, 100))
+    assert np.mean(np.abs(n2 @ n_true) > 0.99) > 0.95
+    np.testing.assert_allclose(np.linalg.norm(n2, axis=1), 1.0, atol=1e-6)
+
+
+def test_prec_rec_separable(rng):
+    """Perfectly separable scores -> an operating point with
+    precision 1 & recall 1; random labels degrade monotonically."""
+    from dh3d_tpu.eval import prec_rec
+
+    score = np.concatenate([rng.rand(100) + 2.0, rng.rand(100)])
+    target = np.concatenate([np.ones(100), np.zeros(100)])
+    prec, tpr, fpr, th = prec_rec(score, target)
+    # quantile-grid thresholds may fall just inside the positive block,
+    # so allow one-sample slack on recall
+    perfect = (prec >= 1.0 - 1e-9) & (tpr >= 0.98)
+    assert perfect.any()
+    # tpr/fpr are monotone in threshold direction
+    assert (np.diff(tpr) >= -1e-12).all()
+    assert (np.diff(fpr) >= -1e-12).all()
