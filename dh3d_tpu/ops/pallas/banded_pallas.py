@@ -71,13 +71,19 @@ def _fwd_kernel(feat_hbm, idx_ref, w_ref, out_ref, f_win, sem, *,
     cp.start()
     cp.wait()
     colw = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
-    accs = [jnp.zeros((T, C), jnp.float32) for _ in range(P)]
     fw = f_win[:, :]
+    # stack the K one-hots into ONE [K*T, W] x [W, C] matmul — K small
+    # matmuls underutilize the MXU (measured ~25% faster stacked)
+    ohs = []
     for k in range(K):
         rel = idx_ref[0, k, :] - start  # [T]; out-of-band never matches
-        oh = (colw == rel[:, None]).astype(win_dtype)
-        g = jnp.dot(oh, fw, preferred_element_type=jnp.float32,
-                    precision=prec)  # [T, C] == gathered rows
+        ohs.append((colw == rel[:, None]).astype(win_dtype))
+    g_all = jnp.dot(jnp.concatenate(ohs, axis=0), fw,
+                    preferred_element_type=jnp.float32,
+                    precision=prec)  # [K*T, C] == gathered rows
+    accs = [jnp.zeros((T, C), jnp.float32) for _ in range(P)]
+    for k in range(K):
+        g = g_all[k * T:(k + 1) * T]
         for p in range(P):
             accs[p] = accs[p] + w_ref[0, p * K + k, :][:, None] * g
     out_ref[0] = jnp.concatenate(accs, axis=-1)
@@ -423,18 +429,23 @@ def _max_kernel(feat_hbm, idx_ref, out_ref, arg_ref, slot_ref, f_win,
     cp.wait()
     colw = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
     fw = f_win[:, :]
+    # one stacked [K*T, W] x [W, C] matmul (see _fwd_kernel)
+    ohs = []
+    for k in range(K):
+        rel_col = (idx_ref[0, k, :] - start)[:, None]  # int32 [T, 1]
+        # (bool [:, None] inserts a minor dim on an i1 vector, which
+        # Mosaic only supports for 32-bit types — keep the insert on int32)
+        ohs.append((colw == rel_col).astype(win_dtype))
+    g_all = jnp.dot(jnp.concatenate(ohs, axis=0), fw,
+                    preferred_element_type=jnp.float32)  # [K*T, C]
     best = jnp.full((T, C), _NEG, jnp.float32)
     arg = jnp.full((T, C), -1, jnp.int32)
     slot = jnp.full((T, C), -1, jnp.int32)
     for k in range(K):
         ids = idx_ref[0, k, :]                    # [T] global key ids
-        rel_col = (ids - start)[:, None]          # int32 [T, 1]
-        # (bool [:, None] inserts a minor dim on an i1 vector, which
-        # Mosaic only supports for 32-bit types — keep the insert on int32)
+        rel_col = (ids - start)[:, None]
         inband_col = (rel_col >= 0) & (rel_col < W)
-        oh = (colw == rel_col).astype(win_dtype)
-        g = jnp.dot(oh, fw, preferred_element_type=jnp.float32)  # [T, C]
-        g = jnp.where(inband_col, g, _NEG)
+        g = jnp.where(inband_col, g_all[k * T:(k + 1) * T], _NEG)
         take = g > best
         arg = jnp.where(take, ids[:, None], arg)
         slot = jnp.where(take, k, slot)
