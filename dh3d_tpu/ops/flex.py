@@ -35,24 +35,57 @@ def gather_neighbors(values, neighborhood):
     return jax.vmap(lambda v, idx: v[idx])(values, neighborhood)
 
 
+def _mixed_tracer_const(*arrays):
+    """True when some args are tracers and others concrete arrays.
+
+    Concrete values used alongside tracers lower to embedded jit
+    constants, which XLA prefetches into alternate memory (S(1)) before
+    a Mosaic custom call — and this backend's custom calls misread such
+    operands (observed: position rows 1-2 read wrong, silently corrupt
+    moments; see the pitfall note in banded_pallas.py).  Dispatchers
+    route these calls to the
+    exact XLA formulations instead; all-traced (jitted production) and
+    all-concrete (eager) calls keep the Pallas kernels."""
+    from jax.core import Tracer
+
+    tr = [isinstance(a, Tracer) for a in arrays if a is not None]
+    return any(tr) and not all(tr)
+
+
 def _banded_ok(features, neighborhood, tile):
     """Banded kernel preconditions: TPU backend, tile-divisible sizes, and
     a channel count wide enough that the one-hot matmul beats the gather."""
     B, M, C = features.shape
     N = neighborhood.shape[1]
     return (jax.default_backend() == "tpu" and C >= 32
-            and N % tile == 0 and M % tile == 0 and N >= 2 * tile)
+            and N % tile == 0 and M % tile == 0 and N >= 2 * tile
+            and not _mixed_tracer_const(features, neighborhood))
 
 
 def _flex_moments_banded(features, positions, neighborhood, tile, window,
                          fast, assume_inband=False):
-    """Moment reduction via the banded one-hot-matmul kernel
-    (ops/pallas/banded_pallas.py): weights = [1, delta] per neighbor, one
-    fused kernel computes all (1+Dp) moments.  Positions gather stays XLA
-    (Dp=3 rows are cheap); features ride the MXU."""
+    """Moment reduction via the banded kernels (ops/pallas/banded_pallas.py).
+
+    Production path (assume_inband, fast, self-set, Dp=3): the specialized
+    moments kernel — neighbor-count matmul with position-scaled hi/lo
+    columns, no VPU accumulation loop (`flex_moments_banded_fast`).
+    Otherwise: the generic weighted-sum kernel with explicit [1, delta]
+    weights (exact for any index distribution via its oob correction)."""
+    if _mixed_tracer_const(features, positions, neighborhood):
+        return _flex_moments(features, positions, neighborhood)
+    B, N, K = neighborhood.shape
+    if (assume_inband and fast and positions.shape[1] == N
+            and positions.shape[-1] == 3):
+        from dh3d_tpu.ops.pallas.banded_pallas import (
+            flex_moments_banded_fast,
+        )
+
+        pos0 = jnp.take_along_axis(
+            positions, neighborhood[:, :, 0][..., None], axis=1)
+        return flex_moments_banded_fast(features, positions, pos0,
+                                        neighborhood, tile, window)
     from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
 
-    B, N, K = neighborhood.shape
     p_k = gather_neighbors(positions, neighborhood)  # [B,N,K,Dp] small
     delta = p_k - p_k[:, :, :1, :]
     ones = jnp.ones_like(delta[..., :1])

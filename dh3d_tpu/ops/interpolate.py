@@ -26,9 +26,12 @@ def three_nn(xyz1, xyz2, impl="auto", window=None):
     along the same curve; see ops/knn.py) — in-band by construction for
     the banded `three_interpolate`.
     """
+    from dh3d_tpu.ops.flex import _mixed_tracer_const
+
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas" and xyz1.shape[-1] == 3:
+    if (impl == "pallas" and xyz1.shape[-1] == 3
+            and not _mixed_tracer_const(xyz1, xyz2)):
         from dh3d_tpu.ops.pallas.knn_pallas import knn_banded, knn_pallas
 
         if window is not None and xyz1.shape[1] % 256 == 0 \
@@ -56,11 +59,14 @@ def three_interpolate(points, idx, weight, method="gather", tile=256,
     weighted sum) instead of the XLA gather — the dominant cost of the
     upsample at [20, 8192, 256] (docs/PERF_NOTES.md).
     """
+    from dh3d_tpu.ops.flex import _mixed_tracer_const
+
     B, M, C = points.shape
     N = idx.shape[1]
     if (method == "banded" and jax.default_backend() == "tpu"
             and C >= 32 and N % tile == 0 and M % tile == 0
-            and M >= window):
+            and M >= window
+            and not _mixed_tracer_const(points, idx, weight)):
         from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
 
         return banded_weighted_sum(

@@ -137,7 +137,10 @@ def knn_bruteforce_pairwise(query, reference, k, impl="auto"):
     Generalization used by eval-time matching; the reference computes this on
     the host with sklearn (`core/utils.py:53-57`).
     """
-    if _use_pallas(impl) and query.shape[-1] == 3:
+    from dh3d_tpu.ops.flex import _mixed_tracer_const
+
+    if (_use_pallas(impl) and query.shape[-1] == 3
+            and not _mixed_tracer_const(query, reference)):
         from dh3d_tpu.ops.pallas.knn_pallas import knn_pallas
 
         idx, d2 = knn_pallas(query, reference, k)

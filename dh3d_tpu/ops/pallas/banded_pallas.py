@@ -46,6 +46,19 @@ _ALIGN = 128  # window starts align to the lane tile; also matches
               # in-band by construction for these kernels
 
 
+# KNOWN BACKEND PITFALL (do not feed these kernels mixed tracer/concrete
+# operands): when a kernel operand is a jit closure CONSTANT while another
+# is traced, XLA cross-program-prefetches the constant into alternate
+# memory (layout `...S(1)`) and this backend's Mosaic custom call misreads
+# such operands (observed: position rows 1-2 of the flex-moments kernel
+# read wrong -> moments p=2/3 off by ~200x, while traced operands are
+# exact).  Neither `optimization_barrier` (a layout-propagation boundary)
+# nor adding an opaque runtime zero helps — the S(1) promotion happens
+# either way.  The op-level dispatchers guard with
+# `flex._mixed_tracer_const` and fall back to exact XLA formulations;
+# all-traced (production jit) and all-concrete (eager) calls are safe.
+
+
 def _fwd_start(i, T, W, N, M):
     """Window start (in key rows) for query tile i — static-int math."""
     center = (2 * i * T + T) * M // (2 * N)  # tile center mapped to keys
@@ -227,6 +240,259 @@ def _bwd_from_dmw(dmw, idx_t, T, W, WB, M, fast, interpret):
         interpret=interpret,
     )(dmw, idx_t)
     return out[..., :C0]
+
+
+# ------------------ specialized flex-conv moments kernel ------------------
+#
+# The generic `banded_weighted_sum` accumulates the P weighted copies on the
+# VPU (K*P broadcast-FMAs per tile) — measured as over half the kernel time.
+# For flex_conv the weights are AFFINE IN THE KEY POSITION:
+#     w[n, k, p] = pos_p[nbh[n, k]] - pos_p[nbh[n, 0]]        (p = 1..3)
+#     w[n, k, 0] = 1
+# so with the neighbor-count matrix  cnt[t, j] = #{k : nbh[t, k] == start+j}
+# every moment is a count matmul with position-scaled columns:
+#     M_0[t] = cnt[t] @ fw
+#     M_p[t] = (cnt[t] * pos'_p) @ fw  -  pos0'_p[t] * M_0[t]
+# (pos' = pos - c, centered per tile: the raw coordinates are ~100 m while
+# deltas are ~0.5 m, so uncentered products would cancel catastrophically in
+# bf16).  The scaled rows are split hi/lo into two bf16 planes — bf16x2
+# carries ~16 mantissa bits, enough that the subtraction above is exact to
+# ~1e-4 relative — and all 7 planes go through ONE stacked [7T, W] x [W, C]
+# MXU matmul.  The P*K VPU accumulation loop disappears entirely.
+
+
+def _hi_lo(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _moments_fwd_kernel(feat_hbm, pos_ref, pos0_ref, idx_ref, out_ref,
+                        f_win, sem, *, T, W, K, N, C):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    start = _fwd_start(i, T, W, N, N)
+    cp = pltpu.make_async_copy(feat_hbm.at[b, pl.ds(start, W), :],
+                               f_win, sem)
+    cp.start()
+
+    colw = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    cnt = jnp.zeros((T, W), jnp.float32)
+    for k in range(K):
+        rel = idx_ref[0, k, :] - start  # [T]; out-of-band never matches
+        cnt = cnt + (colw == rel[:, None]).astype(jnp.float32)
+
+    planes = [cnt.astype(jnp.bfloat16)]  # counts <= K are exact in bf16
+    cs = []
+    # one [8, W] dynamic lane slice, then static sublane indexing (a
+    # per-row `pos_ref[0, p, pl.ds(...)]` with p > 0 mis-lowers in Mosaic;
+    # the sublane dim is padded 3 -> 8 by the caller: sublane-3 operands
+    # that are jit CONSTANTS reach the custom call with wrong row strides)
+    posw3 = pos_ref[0, :, pl.ds(start, W)]  # [8, W] f32 key positions
+    for p in range(3):
+        posw = posw3[p]
+        c = jnp.mean(posw)  # per-tile center: deltas survive bf16 hi/lo
+        cs.append(c)
+        s = cnt * (posw - c)[None, :]
+        hi, lo = _hi_lo(s)
+        planes.append(hi)
+        planes.append(lo)
+
+    cp.wait()
+    fw = f_win[:, :]
+    g = jnp.dot(jnp.concatenate(planes, axis=0), fw,
+                preferred_element_type=jnp.float32)  # [7T, C]
+    m0 = g[0:T]
+    out = [m0]
+    pos03 = pos0_ref[0, :, :]  # [8, T] (rows 3.. are padding)
+    for p in range(3):
+        pos0 = pos03[p] - cs[p]  # [T] centered self positions
+        mp = (g[(1 + 2 * p) * T:(2 + 2 * p) * T]
+              + g[(2 + 2 * p) * T:(3 + 2 * p) * T]
+              - pos0[:, None] * m0)
+        out.append(mp)
+    out_ref[0] = jnp.concatenate(out, axis=-1)  # [T, 4C] p-major
+
+
+def _moments_bwd_kernel(dm_hbm, pos_ref, pos0_ref, idx_ref, out_ref,
+                        dm_win, sem, *, T, W, WB, K, N, C):
+    """Transpose of `_moments_fwd_kernel` w.r.t. features:
+
+      dfeat[j, :] = sum over in-band (n, k) with nbh[n,k]==j of
+                    (dM_0[n] + sum_p (pos_p[j] - pos0_p[n]) * dM_p[n])
+                  = Rcnt @ A  +  sum_p pos'_p[j] * (Rcnt @ dM_p)
+      with  Rcnt[j, n] = #{k : nbh[n, k] == j}  (in-band entries only)
+      and   A[n] = dM_0[n] - sum_p pos0'_p[n] * dM_p[n]   (built in-kernel
+            at f32, so the pos0/poskey cancellation stays exact).
+
+    A and each dM_p are hi/lo split into bf16 planes -> one stacked
+    [T, WB] x [WB, 8C] matmul; centering uses the j-tile's key positions."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    center = (2 * j * T + T) * N // (2 * N)  # == j*T + T//2 (N == M)
+    qstart = jnp.clip(center - WB // 2, 0, N - WB)
+    qstart = (qstart // _ALIGN) * _ALIGN
+    cp = pltpu.make_async_copy(dm_hbm.at[b, pl.ds(qstart, WB), :],
+                               dm_win, sem)
+    cp.start()
+
+    j_ids = j * T + jax.lax.broadcasted_iota(jnp.int32, (T, WB), 0)
+    n_abs = qstart + jax.lax.broadcasted_iota(jnp.int32, (T, WB), 1)
+    fcenter = (2 * (n_abs // T) * T + T) // 2
+    fstart = jnp.clip(fcenter - W // 2, 0, N - W)
+    fstart = (fstart // _ALIGN) * _ALIGN
+    inband = (j_ids >= fstart) & (j_ids < fstart + W)
+
+    rcnt = jnp.zeros((T, WB), jnp.float32)
+    for k in range(K):
+        idx_row = idx_ref[0, k, pl.ds(qstart, WB)][None, :]  # [1, WB]
+        rcnt = rcnt + ((j_ids == idx_row) & inband).astype(jnp.float32)
+    rcnt = rcnt.astype(jnp.bfloat16)  # counts <= K exact
+
+    cp.wait()
+    posj3 = pos_ref[0, :, pl.ds(j * T, T)]     # [3, T] key positions
+    pos03 = pos0_ref[0, :, pl.ds(qstart, WB)]  # [3, WB] self positions
+    cs = [jnp.mean(posj3[p]) for p in range(3)]
+    dm0 = dm_win[:, 0:C]
+    a = dm0
+    dmps = []
+    for p in range(3):
+        dmp = dm_win[:, (1 + p) * C:(2 + p) * C]
+        dmps.append(dmp)
+        pos0 = pos03[p] - cs[p]  # [WB] centered
+        a = a - pos0[:, None] * dmp
+
+    planes = []
+    for x in (a, *dmps):
+        hi, lo = _hi_lo(x)
+        planes.append(hi)
+        planes.append(lo)
+    g = jnp.dot(rcnt, jnp.concatenate(planes, axis=-1),
+                preferred_element_type=jnp.float32)  # [T, 8C]
+    out = g[:, 0:C] + g[:, C:2 * C]  # Rcnt @ A (hi + lo)
+    for p in range(3):
+        posj = posj3[p] - cs[p]  # [T] key positions, centered
+        gp = (g[:, (2 + 2 * p) * C:(3 + 2 * p) * C]
+              + g[:, (3 + 2 * p) * C:(4 + 2 * p) * C])
+        out = out + posj[:, None] * gp
+    out_ref[0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("T", "W", "interpret"))
+def _moments_fwd_call(feat, pos_t, pos0_t, idx_t, T, W, interpret):
+    B, N, C0 = feat.shape
+    K = idx_t.shape[1]
+    feat, C0, C = _pad_c(feat)
+    feat = feat.astype(jnp.bfloat16)
+    # sublane pad 3 -> 8 keeps the position operands on native tile rows
+    pos_t = jnp.pad(pos_t, ((0, 0), (0, 5), (0, 0)))
+    pos0_t = jnp.pad(pos0_t, ((0, 0), (0, 5), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_moments_fwd_kernel, T=T, W=W, K=K, N=N, C=C),
+        grid=(B, N // T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, N), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, T), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, T), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, 4 * C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, 4 * C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((W, C), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(feat, pos_t, pos0_t, idx_t)
+    if C != C0:
+        out = out.reshape(B, N, 4, C)[..., :C0].reshape(B, N, 4 * C0)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("T", "W", "WB", "interpret"))
+def _moments_bwd_call(dm, pos_t, pos0_t, idx_t, T, W, WB, interpret):
+    B, N, C4 = dm.shape
+    C0 = C4 // 4
+    K = idx_t.shape[1]
+    cpad = (-C0) % 128
+    if cpad:
+        dm = jnp.pad(dm.reshape(B, N, 4, C0),
+                     ((0, 0), (0, 0), (0, 0), (0, cpad))).reshape(B, N, -1)
+    C = C0 + cpad
+    # sublane pad 3 -> 8 (see _moments_fwd_call)
+    pos_t = jnp.pad(pos_t, ((0, 0), (0, 5), (0, 0)))
+    pos0_t = jnp.pad(pos0_t, ((0, 0), (0, 5), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_moments_bwd_kernel, T=T, W=W, WB=WB, K=K, N=N,
+                          C=C),
+        grid=(B, N // T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, N), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, N), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, N), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, C), lambda b, j: (b, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((WB, 4 * C), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(dm, pos_t, pos0_t, idx_t)
+    return out[..., :C0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flex_moments_banded_fast(features, positions, pos0, nbh,
+                             tile=256, window=512, interpret=False):
+    """Flex-conv neighborhood moments on the specialized banded kernel.
+
+    features [B, N, C]; positions [B, N, 3] (same set: N == M); pos0
+    [B, N, 3] = positions gathered at nbh[:, :, 0] (the delta origin);
+    nbh [B, N, K] int32, every index ASSUMED in-band for its tile window
+    (use indices from `knn_pallas.knn_banded` with the same tile/window).
+    Returns [B, N, 4*C] p-major moments: [sum_k f, sum_k dx*f, dy*f, dz*f].
+
+    Differentiable in `features`; positions/pos0/nbh get zero cotangent
+    (reference parity: the CUDA flex kernels have no position gradient).
+    """
+    idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
+    pos_t = jnp.transpose(positions, (0, 2, 1)).astype(jnp.float32)
+    pos0_t = jnp.transpose(pos0, (0, 2, 1)).astype(jnp.float32)
+    return _moments_fwd_call(features, pos_t, pos0_t, idx_t, tile, window,
+                             interpret)
+
+
+def _moments_vjp_fwd(features, positions, pos0, nbh, tile, window,
+                     interpret):
+    out = flex_moments_banded_fast(features, positions, pos0, nbh, tile,
+                                   window, interpret)
+    # `features` rides along only for its (static) shape/dtype — residual
+    # leaves must be JAX types
+    return out, (features, positions, pos0, nbh)
+
+
+def _moments_vjp_bwd(tile, window, interpret, res, dm):
+    features, positions, pos0, nbh = res
+    fdtype = features.dtype
+    N = nbh.shape[1]
+    idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
+    pos_t = jnp.transpose(positions, (0, 2, 1)).astype(jnp.float32)
+    pos0_t = jnp.transpose(pos0, (0, 2, 1)).astype(jnp.float32)
+    WB = window + 2 * tile
+    if WB > N:
+        WB = N
+    dfeat = _moments_bwd_call(dm.astype(jnp.float32), pos_t, pos0_t,
+                              idx_t, tile, window, WB, interpret)
+    return (dfeat.astype(fdtype), None, None, None)
+
+
+flex_moments_banded_fast.defvjp(_moments_vjp_fwd, _moments_vjp_bwd)
 
 
 # ------------------- out-of-band correction (XLA, exact) -------------------

@@ -282,3 +282,90 @@ def test_banded_max_grad_inband(rng):
     g_d = jax.grad(f_dense)(jnp.asarray(feat))
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flex_moments_banded_fast(rng):
+    """Specialized moments kernel == gather oracle on in-band indices
+    (fwd all four moment planes + feature VJP)."""
+    import jax
+
+    from dh3d_tpu.ops.pallas.banded_pallas import (
+        _starts_host,
+        flex_moments_banded_fast,
+    )
+
+    B, N, K, C, T, W = 2, 512, 4, 32, 128, 128
+    feat = rng.randn(B, N, C).astype(np.float32)
+    pos = (rng.randn(B, N, 3) * 0.5 + 100.0).astype(np.float32)
+    starts = np.asarray(_starts_host(N, N, T, W))
+    nbh = (starts[None, :, None]
+           + rng.randint(0, W, (B, N, K))).astype(np.int32)
+    pos0 = np.take_along_axis(pos, nbh[:, :, :1], axis=1)
+
+    # oracle: [sum_k f, sum_k dx*f, dy*f, dz*f] p-major
+    f_k = np.stack([feat[b][nbh[b]] for b in range(B)])
+    p_k = np.stack([pos[b][nbh[b]] for b in range(B)])
+    d = p_k - pos0[:, :, None, :]
+    mnp = np.concatenate(
+        [f_k.sum(2)] + [np.einsum("bnk,bnkc->bnc", d[..., a], f_k)
+                        for a in range(3)], axis=-1)
+
+    out = flex_moments_banded_fast(
+        jnp.asarray(feat), jnp.asarray(pos), jnp.asarray(pos0),
+        jnp.asarray(nbh), T, W, True)
+    # features ride the MXU in bf16 (like the generic fast path): per-
+    # element rel ~2^-8; the tail reaches a few % of the mean magnitude
+    err = np.abs(np.asarray(out) - mnp)
+    scale = np.abs(mnp).mean() + 1e-9
+    assert err.max() / scale < 3e-2
+    assert err.mean() / scale < 3e-3
+
+    # VJP wrt features vs dense-path autodiff
+    dm = rng.randn(B, N, 4 * C).astype(np.float32)
+
+    def f_fast(x):
+        return jnp.vdot(flex_moments_banded_fast(
+            x, jnp.asarray(pos), jnp.asarray(pos0), jnp.asarray(nbh),
+            T, W, True), jnp.asarray(dm))
+
+    def f_dense(x):
+        f_k = jax.vmap(lambda v, i: v[i])(x, jnp.asarray(nbh))
+        p_k = jax.vmap(lambda v, i: v[i])(jnp.asarray(pos),
+                                          jnp.asarray(nbh))
+        delta = p_k - jnp.asarray(pos0)[:, :, None, :]
+        m0 = jnp.sum(f_k, axis=2)
+        mp = jnp.einsum("bnkp,bnkc->bnpc", delta, f_k).reshape(B, N, -1)
+        return jnp.vdot(jnp.concatenate([m0, mp], axis=-1),
+                        jnp.asarray(dm))
+
+    g_f = jax.grad(f_fast)(jnp.asarray(feat))
+    g_d = jax.grad(f_dense)(jnp.asarray(feat))
+    gscale = np.abs(np.asarray(g_d)).mean() + 1e-9
+    assert np.abs(np.asarray(g_f) - np.asarray(g_d)).max() / gscale < 5e-3
+
+
+def test_flex_moments_banded_fast_jit_const(rng):
+    """Regression: positions/indices as jit closure CONSTANTS must NOT
+    reach the Mosaic kernels (constant operands are prefetched into
+    alternate memory and misread on the TPU backend — silent corruption;
+    `flex._mixed_tracer_const` routes such calls to the XLA gather
+    path instead)."""
+    import jax
+
+    from dh3d_tpu.ops.flex import _flex_moments, _flex_moments_banded
+    from dh3d_tpu.ops.pallas.banded_pallas import _starts_host
+
+    B, N, K, C, T, W = 2, 512, 4, 32, 128, 128
+    feat = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    pos = jnp.asarray((rng.randn(B, N, 3) * 0.5 + 100.0).astype(np.float32))
+    starts = np.asarray(_starts_host(N, N, T, W))
+    nbh = jnp.asarray((starts[None, :, None]
+                       + rng.randint(0, W, (B, N, K))).astype(np.int32))
+
+    f = jax.jit(lambda fe: _flex_moments_banded(fe, pos, nbh, T, W,
+                                                True, True))
+    assert "tpu_custom_call" not in f.lower(feat).as_text(), (
+        "mixed tracer/const operands must not reach the Mosaic kernel")
+    oracle = _flex_moments(feat, pos, nbh)
+    np.testing.assert_allclose(np.asarray(f(feat)), np.asarray(oracle),
+                               rtol=1e-4, atol=1e-4)
