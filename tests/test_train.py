@@ -336,3 +336,27 @@ def test_threaded_prefetcher():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="source failed"):
         next(it)
+
+
+def test_multihost_mesh_train_step(rng):
+    """One DP step on a 2-axis ("dcn", "data") 2x4 mesh: batch sharded
+    over the axis product, params replicated over both — the multi-slice
+    (DCN) production sharding; result must match single-device."""
+    from dh3d_tpu.parallel import multihost_mesh
+
+    cfg = small_cfg()
+    cfg.sampled_kpnum = KP
+    batch = make_local_batch(rng, B=4)  # 8 clouds -> 1 per device
+    state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step = trainlib.make_train_step(cfg)
+    s1, m1 = step(state, batch)
+
+    mesh = multihost_mesh(2, 4)
+    assert mesh.axis_names == ("dcn", "data") and mesh.shape["dcn"] == 2
+    with jax.sharding.set_mesh(mesh):
+        sharded_batch = shard_batch(mesh, batch)
+        rep_state = replicate(mesh, state)
+        s2, m2 = step(rep_state, sharded_batch)
+        np.testing.assert_allclose(
+            float(m1["total_cost"]), float(m2["total_cost"]), rtol=1e-4
+        )
