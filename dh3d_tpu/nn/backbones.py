@@ -134,8 +134,12 @@ class BackboneLocalDilate(nn.Module):
         nn_8 = knn_ind[..., :8]
 
         # initconv: conv_pointset on raw xyz + BN/relu, then flex max-pool
-        # (`core/backbones.py:108-110`); Din=3 -> gather stays cheap
-        init_f = ConvPointsetBN(32, ura, axn, name="initconv")(points, nn_8)
+        # (`core/backbones.py:108-110`).  The banded one-hot matmul wins
+        # even at Din=3 (cost is C-independent below one lane tile):
+        # measured 11.1 ms gather vs ~3 ms banded at [20, 8192]
+        init_f = ConvPointsetBN(32, ura, axn, method=self.method,
+                                assume_inband=self.inband_knn,
+                                name="initconv")(points, nn_8)
         init_f, _ = ops.flex_pool(init_f, nn_8, method=self.method,
                                   assume_inband=self.inband_knn)
 

@@ -123,6 +123,8 @@ class ConvPointset(nn.Module):
     theta [Din, Dout], bias [Dout]."""
 
     features: int
+    method: str = "gather"
+    assume_inband: bool = False
 
     @nn.compact
     def __call__(self, feat, nbh):
@@ -131,7 +133,9 @@ class ConvPointset(nn.Module):
             "theta", nn.initializers.glorot_uniform(), (din, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return ops.conv_pointset(feat, nbh, theta, bias)
+        return ops.conv_pointset(feat, nbh, theta, bias,
+                                 method=self.method,
+                                 assume_inband=self.assume_inband)
 
 
 class ConvPointsetBN(nn.Module):
@@ -141,10 +145,14 @@ class ConvPointsetBN(nn.Module):
     use_running_average: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Optional[object] = None
+    method: str = "gather"
+    assume_inband: bool = False
 
     @nn.compact
     def __call__(self, feat, nbh):
-        x = ConvPointset(self.features, name="conv")(feat, nbh)
+        x = ConvPointset(self.features, method=self.method,
+                         assume_inband=self.assume_inband,
+                         name="conv")(feat, nbh)
         x = BatchNorm(
             self.use_running_average, axis_name=self.bn_axis_name, name="norm"
         )(x)

@@ -35,6 +35,31 @@ def gather_neighbors(values, neighborhood):
     return jax.vmap(lambda v, idx: v[idx])(values, neighborhood)
 
 
+@jax.custom_jvp
+def _hilo_split(x):
+    """Split f32 x into (hi, lo) with hi exactly bf16-representable.
+
+    hi is built by MASKING mantissa bits: XLA's algebraic simplifier
+    (allow_excess_precision, default on) strips an f32->bf16->f32 convert
+    chain, which silently turns the lo residual into exact zero (measured
+    on device: convert-chain hi/lo output bit-identical to plain bf16).
+    Bitcasts survive simplification; truncation rather than
+    round-to-nearest only costs one ulp on lo.  The custom JVP routes the
+    full tangent through hi (bitcast has no autodiff rule, and for any
+    linear consumer d(hi+lo)/dx = 1 either way)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi, x - hi
+
+
+@_hilo_split.defjvp
+def _hilo_split_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    hi, lo = _hilo_split(x)
+    return (hi, lo), (dx, jnp.zeros_like(dx))
+
+
 def _mixed_tracer_const(*arrays):
     """True when some args are tracers and others concrete arrays.
 
@@ -53,11 +78,15 @@ def _mixed_tracer_const(*arrays):
 
 
 def _banded_ok(features, neighborhood, tile):
-    """Banded kernel preconditions: TPU backend, tile-divisible sizes, and
-    a channel count wide enough that the one-hot matmul beats the gather."""
+    """Banded kernel preconditions: TPU backend and tile-divisible sizes.
+
+    No channel threshold: the one-hot matmul's cost is C-independent up to
+    one lane tile (features are padded to 128 inside the kernel), and it
+    beats the issue-rate-bound gather even at Din=3 (initconv: 11.1 ms
+    gather vs ~3 ms banded at [20, 8192])."""
     B, M, C = features.shape
     N = neighborhood.shape[1]
-    return (jax.default_backend() == "tpu" and C >= 32
+    return (jax.default_backend() == "tpu"
             and N % tile == 0 and M % tile == 0 and N >= 2 * tile
             and not _mixed_tracer_const(features, neighborhood))
 
@@ -235,18 +264,38 @@ def conv_pointset(features, neighborhood, theta, bias, method="gather",
 
     features [B,N,Din], neighborhood [B,N,K], theta [Din,Dout], bias [Dout]
     -> [B,N,Dout].  method='banded' computes the neighborhood sum on the
-    banded kernel (sum_k f_k - K*f0); the model's initconv has Din=3 where
-    the gather is already cheap, so 'gather' stays the default.
+    banded kernel (sum_k f_k - K*f0), with the features hi/lo-split into
+    two bf16 channels in fast mode so raw-position-scale inputs keep ~16
+    mantissa bits through the K*f0 cancellation (initconv feeds raw xyz:
+    measured 11.9 ms gather vs 5.4 ms banded at [20, 8192], rel err 2e-3).
     """
     K = neighborhood.shape[-1]
     if method == "banded" and _banded_ok(features, neighborhood, tile):
         from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
 
         ones = jnp.ones(neighborhood.shape + (1,), features.dtype)
-        nsum = banded_weighted_sum(
-            features, neighborhood, ones, None, tile, window, fast, False,
-            assume_inband,
-        ).astype(features.dtype)
+        Din = features.shape[-1]
+        if fast:
+            # hi/lo-split the features into two bf16 channels: the model
+            # feeds RAW XYZ here (initconv), whose ~100 m absolute scale
+            # in a plain bf16 window swamps the ~0.5 m neighborhood
+            # differences after the K*f0 cancellation (measured 80%
+            # relative error at [20, 8192]).  bf16x2 carries ~16 mantissa
+            # bits; the channel pad to one lane tile absorbs the 2x width
+            # for free, so this costs nothing over the plain fast path.
+            hi, lo = _hilo_split(features.astype(jnp.float32))
+            f2 = jnp.concatenate([hi, lo], axis=-1)  # [B, N, 2*Din]
+            nsum2 = banded_weighted_sum(
+                f2, neighborhood, ones, None, tile, window, True, False,
+                assume_inband,
+            )
+            nsum = (nsum2[..., :Din]
+                    + nsum2[..., Din:]).astype(features.dtype)
+        else:
+            nsum = banded_weighted_sum(
+                features, neighborhood, ones, None, tile, window, False,
+                False, assume_inband,
+            ).astype(features.dtype)
         f0 = jnp.take_along_axis(features, neighborhood[:, :, :1], axis=1)
         diff_sum = nsum - K * f0
         return (

@@ -207,3 +207,28 @@ def test_subsample(rng):
     np.testing.assert_allclose(
         np.asarray(feat_s), np.stack([feat[b][expect_kp[b]] for b in range(2)])
     )
+
+
+def test_hilo_split_exact_and_differentiable(rng):
+    """_hilo_split: hi bf16-representable, hi+lo == x exactly, and the
+    custom JVP routes the full tangent through hi (bitcast has no
+    autodiff rule).  Guards the initconv banded path's precision trick
+    against XLA's excess-precision convert-chain stripping."""
+    import jax
+
+    from dh3d_tpu.ops.flex import _hilo_split
+
+    x = jnp.asarray((rng.randn(4, 64) * 100).astype(np.float32))
+    hi, lo = jax.jit(_hilo_split)(x)
+    np.testing.assert_array_equal(np.asarray(hi + lo), np.asarray(x))
+    # hi survives a bf16 round-trip bit-exactly (mantissa truncated)
+    np.testing.assert_array_equal(
+        np.asarray(hi), np.asarray(hi).astype(np.dtype("bfloat16")
+                                              if hasattr(np, "bfloat16")
+                                              else np.float32))
+    assert float(np.abs(np.asarray(lo)).max()) <= (
+        float(np.abs(np.asarray(x)).max()) * 2.0 ** -7)
+
+    g = jax.grad(lambda v: jnp.sum(_hilo_split(v)[0] * 2.0
+                                   + _hilo_split(v)[1] * 3.0))(x)
+    np.testing.assert_allclose(np.asarray(g), 2.0)  # all tangent via hi
