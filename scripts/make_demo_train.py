@@ -56,8 +56,10 @@ def main():
             os.symlink(src, dst)
 
     local = {i: {"query": rel} for i, (rel, _, _) in enumerate(entries)}
-    with open(os.path.join(args.out, "local_train.pickle"), "wb") as f:
-        pickle.dump(local, f)
+    # both names: the short one for humans, the oxford_* one train.py opens
+    for name in ("local_train.pickle", "oxford_train_local_gt.pickle"):
+        with open(os.path.join(args.out, name), "wb") as f:
+            pickle.dump(local, f)
 
     xy = np.array([(n, e) for _, n, e in entries])
     d = np.linalg.norm(xy[:, None] - xy[None, :], axis=-1)
@@ -71,8 +73,9 @@ def main():
                  "nonnegtives": [int(j) for j in nonneg],
                  "northing": n, "easting": e}
         usable += len(pos) >= 2
-    with open(os.path.join(args.out, "global_train.pickle"), "wb") as f:
-        pickle.dump(gt, f)
+    for name in ("global_train.pickle", "oxford_train_global_gt.pickle"):
+        with open(os.path.join(args.out, name), "wb") as f:
+            pickle.dump(gt, f)
 
     print(f"{args.out}: {len(entries)} clouds linked; "
           f"{usable} queries with >=2 positives "
