@@ -199,6 +199,7 @@ def _banded_bwd_call(dm, idx_t, weights, P, T, W, WB, M, fast, interpret):
     C0 = PC0 // P
     dmw = jnp.einsum("bnkp,bnpc->bnkc", weights,
                      dm.reshape(B, N, P, C0),
+                     precision="highest",
                      preferred_element_type=jnp.float32)
     return _bwd_from_dmw(dmw, idx_t, T, W, WB, M, fast, interpret)
 
@@ -555,7 +556,8 @@ def _oob_correction_bwd(dm, nbh, w, starts, W, cap, M):
         w.reshape(B, N * K, P), jnp.where(valid, entries, 0)[..., None],
         axis=1) * valid[..., None]
     contrib = jnp.einsum("bep,bepc->bec", ws,
-                         dmq.reshape(B, -1, P, C))  # [B, cap, C]
+                         dmq.reshape(B, -1, P, C),
+                         precision="highest")  # [B, cap, C]
     dfeat = jnp.zeros((B, M, C), contrib.dtype)
     dfeat = dfeat.at[jnp.arange(B)[:, None],
                      jnp.where(valid, j, 0)].add(
@@ -567,14 +569,19 @@ def _dense_fwd(feat, nbh, w):
     f_k = jax.vmap(lambda v, i: v[i])(feat, nbh)  # [B,N,K,C]
     B, N, K, C = f_k.shape
     P = w.shape[-1]
-    return jnp.einsum("bnkp,bnkc->bnpc", w, f_k).reshape(B, N, P * C)
+    # precision matters: the TPU default einsum is one-pass bf16, and
+    # this dense path is the EXACTNESS fallback (observed 4e-2 abs err
+    # without it on hardware)
+    return jnp.einsum("bnkp,bnkc->bnpc", w, f_k,
+                      precision="highest").reshape(B, N, P * C)
 
 
 def _dense_bwd(dm, nbh, w, M):
     B, N, K = nbh.shape
     P = w.shape[-1]
     C = dm.shape[-1] // P
-    contrib = jnp.einsum("bnkp,bnpc->bnkc", w, dm.reshape(B, N, P, C))
+    contrib = jnp.einsum("bnkp,bnpc->bnkc", w, dm.reshape(B, N, P, C),
+                         precision="highest")
     flat_idx = (nbh + (jnp.arange(B, dtype=nbh.dtype) * M)[:, None, None])
     out = jax.ops.segment_sum(contrib.reshape(-1, C),
                               flat_idx.reshape(-1), num_segments=B * M)
@@ -681,7 +688,7 @@ _NEG = -3.0e38
 
 
 def _max_kernel(feat_hbm, idx_ref, out_ref, arg_ref, slot_ref, f_win,
-                sem, *, T, W, K, N, M, C, win_dtype):
+                sem, *, T, W, K, N, M, C, win_dtype, prec):
     """In-band neighborhood max + argmax (global key ids) + arg slot
     (neighborhood position k, used by the VJP).  Ties keep the lowest k,
     like the reference CPU kernel's strict `>` update
@@ -702,8 +709,12 @@ def _max_kernel(feat_hbm, idx_ref, out_ref, arg_ref, slot_ref, f_win,
         # (bool [:, None] inserts a minor dim on an i1 vector, which
         # Mosaic only supports for 32-bit types — keep the insert on int32)
         ohs.append((colw == rel_col).astype(win_dtype))
+    # precision matters in exact mode: the default f32 matmul is one-pass
+    # bf16 on the MXU, which rounds the "gathered" values (~8e-3) and
+    # flips near-tie argmaxes — wrong VJP routing (caught on hardware)
     g_all = jnp.dot(jnp.concatenate(ohs, axis=0), fw,
-                    preferred_element_type=jnp.float32)  # [K*T, C]
+                    preferred_element_type=jnp.float32,
+                    precision=prec)  # [K*T, C]
     best = jnp.full((T, C), _NEG, jnp.float32)
     arg = jnp.full((T, C), -1, jnp.int32)
     slot = jnp.full((T, C), -1, jnp.int32)
@@ -728,11 +739,13 @@ def _banded_max_call(feat, idx_t, T, W, fast, interpret):
     N, K = idx_t.shape[2], idx_t.shape[1]
     feat, C0, C = _pad_c(feat)
     win_dtype = jnp.bfloat16 if fast else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
     if fast:
         feat = feat.astype(jnp.bfloat16)
     val, arg, slot = pl.pallas_call(
         functools.partial(_max_kernel, T=T, W=W, K=K, N=N, M=M, C=C,
-                          win_dtype=win_dtype),
+                          win_dtype=win_dtype, prec=prec),
         grid=(B, N // T),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
