@@ -141,7 +141,9 @@ def jax_rotate_z(key, data):
     a = jax.random.uniform(key) * 2 * jnp.pi
     c, s = jnp.cos(a), jnp.sin(a)
     rot = jnp.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
-    return data @ rot
+    # precision: the TPU default matmul is one-pass bf16, which would
+    # quantize rotated coordinates at ~0.4% (~0.2 m on raw clouds)
+    return jnp.matmul(data, rot, precision="highest")
 
 
 def jax_rotate_small(key, data, angle_sigma=0.06, angle_clip=0.18):
@@ -153,7 +155,9 @@ def jax_rotate_small(key, data, angle_sigma=0.06, angle_clip=0.18):
     Rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]], data.dtype)
     Ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], data.dtype)
     Rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], data.dtype)
-    return data @ (Rz @ Ry @ Rx)
+    rot = jnp.matmul(jnp.matmul(Rz, Ry, precision="highest"), Rx,
+                     precision="highest")
+    return jnp.matmul(data, rot, precision="highest")
 
 
 def jax_scale(key, data, lo=0.8, hi=1.25):

@@ -34,7 +34,7 @@ def pairwise_dist_cosine(a, b, isl2norm=True):
     and ignored, exactly as upstream (the function assumes pre-normalized
     inputs either way).  a [B,M,D], b [B,N,D] -> [B,M,N]."""
     del isl2norm  # unused in the reference too
-    sim = jnp.einsum("bmd,bnd->bmn", a, b,
+    sim = jnp.einsum("bmd,bnd->bmn", a, b, precision="highest",
                      preferred_element_type=jnp.float32)
     return jnp.clip(sim, -1.0, 1.0)
 

@@ -239,10 +239,15 @@ def test_batch_hard_all_gather_matches_single_device(rng):
     """shard_map path: each of 8 devices holds ONE complete tuple and mines
     against the lax.all_gather'ed global pool — the mean of per-device
     losses must equal the single-device loss over the concatenated batch."""
+    import pytest
     from functools import partial
 
+    import jax
     from jax.sharding import PartitionSpec as P_
     from jax.experimental.shard_map import shard_map
+
+    if jax.local_device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh (single-chip TPU run)")
 
     from dh3d_tpu.parallel import data_parallel_mesh
 
