@@ -197,9 +197,12 @@ def _banded_bwd_call(dm, idx_t, weights, P, T, W, WB, M, fast, interpret):
     + K one-hot matmuls per tile, like the forward."""
     B, N, PC0 = dm.shape
     C0 = PC0 // P
+    # precision only in exact mode: fast mode rounds dmw to bf16 in the
+    # kernel anyway, and a 6-pass highest-precision einsum here measured
+    # 5.6x on the WHOLE train step (it runs per backward at [B,N,K,C])
     dmw = jnp.einsum("bnkp,bnpc->bnkc", weights,
                      dm.reshape(B, N, P, C0),
-                     precision="highest",
+                     precision=None if fast else "highest",
                      preferred_element_type=jnp.float32)
     return _bwd_from_dmw(dmw, idx_t, T, W, WB, M, fast, interpret)
 
