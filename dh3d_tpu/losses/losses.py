@@ -22,10 +22,24 @@ from dh3d_tpu import ops
 def pairwise_dist(a, b):
     """Squared-L2 pairwise distances (`core/tf_utils.py:125-136`).
     a [B,M,D], b [B,N,D] -> [B,M,N]."""
-    # explicit difference form: matches the reference op exactly (no matmul
-    # cancellation error) — M, N here are small (512 keypoints).
+    # explicit difference form: no matmul-identity cancellation — used for
+    # GEOMETRY (D=3), where absolute coordinates are large vs the
+    # distances of interest and the broadcast is cheap.
     diff = a[:, :, None, :] - b[:, None, :, :]
     return jnp.sum(diff * diff, axis=-1)
+
+
+def pairwise_dist_matmul(a, b):
+    """Squared-L2 via the matmul identity a^2 - 2ab + b^2 — the form the
+    reference actually computes (`core/tf_utils.py:125-136`).  Used for
+    DESCRIPTOR distances (D=128, values O(1)): the identity's
+    cancellation error is ~1e-6 at highest precision, and the [M,D]x[D,N]
+    matmul rides the MXU instead of a [B,M,N,D] broadcast."""
+    ab = jnp.einsum("bmd,bnd->bmn", a, b, precision="highest",
+                    preferred_element_type=jnp.float32)
+    a2 = jnp.sum(a * a, axis=-1)[:, :, None]
+    b2 = jnp.sum(b * b, axis=-1)[:, None, :]
+    return jnp.maximum(a2 - 2.0 * ab + b2, 0.0)
 
 
 def pairwise_dist_cosine(a, b, isl2norm=True):
@@ -58,7 +72,7 @@ def desc_local_loss(outs, pos_r=0.5, search_r=20.0, margin=0.8,
     is_neg = ((xyzdist > pos_r * 2) & (xyzdist < search_r)).astype(jnp.float32)
     is_pos = (xyzdist < pos_r).astype(jnp.float32)
 
-    feat_dist = jnp.sqrt(pairwise_dist(feat0, feat1) + 1e-10)
+    feat_dist = jnp.sqrt(pairwise_dist_matmul(feat0, feat1) + 1e-10)
     num_pos = jnp.sum(is_pos)
     num_neg = jnp.sum(is_neg)
 
@@ -118,7 +132,8 @@ def local_detection_loss_nn(outs, ar_th=0.3, det_k=16, ar_nn_k=5, pos_r=0.3,
         # hardest negative among pos-cloud keypoints (`core/losses.py:87-99`)
         xyz_dist_all = jnp.sqrt(pairwise_dist(xyz0_warp, xyz_s1) + 1e-10)
         is_neg = (xyz_dist_all > 1.0).astype(jnp.float32)
-        feat_dist_all = jnp.sqrt(pairwise_dist(feat_s0, feat_s1) + 1e-10)
+        feat_dist_all = jnp.sqrt(
+            pairwise_dist_matmul(feat_s0, feat_s1) + 1e-10)
         neg_dist = feat_dist_all + (1.0 - is_neg) * 100.0
         hardest = jnp.argmin(neg_dist, axis=2)  # [B,M]
         # INTENTIONAL DIVERGENCE from the reference: `core/losses.py:94-98`

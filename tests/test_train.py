@@ -6,6 +6,7 @@ path on the virtual 8-device CPU mesh.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dh3d_tpu import config as cfglib
 from dh3d_tpu import train as trainlib
@@ -14,6 +15,12 @@ from dh3d_tpu.parallel.mesh import replicate, shard_batch
 
 N = 64
 KP = 8
+
+# mesh tests need the virtual 8-device CPU mesh (tests/conftest.py); a
+# single-chip TPU run of the suite skips them
+requires_mesh = pytest.mark.skipif(
+    jax.local_device_count() < 8,
+    reason="needs the 8-device CPU mesh (single-chip run)")
 
 
 def make_local_batch(rng, B=2, jitter=0.01):
@@ -127,6 +134,7 @@ def test_kernel_l2_only_dense_kernels():
     assert l2 == 4.0 + 4.0  # both 'kernel' leaves, nothing else
 
 
+@requires_mesh
 def test_data_parallel_train_step(rng):
     """One DP step on the 8-device CPU mesh: batch sharded on 'data',
     params replicated; result must match the single-device step."""
@@ -167,6 +175,7 @@ def test_checkpoint_exact_resume(rng, tmp_path):
     )
 
 
+@requires_mesh
 def test_sharded_knn_matches_single_device(rng):
     """Point-axis-sharded knn over the 8-device mesh == single-device knn."""
     import jax.numpy as jnp
@@ -181,6 +190,7 @@ def test_sharded_knn_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_1), atol=1e-5)
 
 
+@requires_mesh
 def test_global_config_dp_step(rng):
     """Global (quadruplet) training step over the 8-device mesh: 16 clouds
     (batch 2 x [q+1pos+5neg+otherneg]) sharded on 'data'."""
@@ -244,6 +254,7 @@ def test_on_device_augmentation_global(rng):
     assert float(m1["total_cost"]) != float(m2["total_cost"])
 
 
+@requires_mesh
 def test_cross_device_mining_dp_matches_single_device(rng):
     """cfg.cross_device_mining: the mined quadruplet loss over the 8-device
     DP mesh equals the single-device loss over the concatenated batch
@@ -338,6 +349,7 @@ def test_threaded_prefetcher():
         next(it)
 
 
+@requires_mesh
 def test_multihost_mesh_train_step(rng):
     """One DP step on a 2-axis ("dcn", "data") 2x4 mesh: batch sharded
     over the axis product, params replicated over both — the multi-slice
