@@ -91,9 +91,12 @@ def bench_forward(jax, jnp, B=20, N=8192, iters=30, morton=False):
     return B / dt
 
 
-def bench_train_step(jax, jnp, B=10, N=8192, iters=10, morton=False):
+def bench_train_step(jax, jnp, B=10, N=8192, iters=10, morton=False,
+                     presorted=False):
     """Full train step (detection config: local + detector losses,
-    fwd + bwd + Adam) at the reference batch (10 pairs = 20 clouds)."""
+    fwd + bwd + Adam) at the reference batch (10 pairs = 20 clouds).
+    `presorted` = production loader mode: clouds Z-order sorted on the
+    host (prefetch-hidden), the step skips its in-graph argsort."""
     from dh3d_tpu import config as cfglib
     from dh3d_tpu import train as trainlib
 
@@ -103,9 +106,14 @@ def bench_train_step(jax, jnp, B=10, N=8192, iters=10, morton=False):
     cfg.sampled_kpnum = KP
     cfg.batch_size = B
     cfg.morton_order = morton
+    cfg.morton_presorted = presorted
 
     rng = np.random.RandomState(0)
     pc1 = rng.randn(B, N, 3).astype(np.float32) * 20
+    if presorted:
+        from dh3d_tpu.data.io import morton_sort_np
+
+        pc1 = morton_sort_np(pc1)  # pc2 inherits the order via R below
     ang = rng.uniform(-np.pi, np.pi, B)
     R = np.stack([
         np.array([[np.cos(a), np.sin(a), 0],
@@ -188,6 +196,7 @@ def main():
     # reference-parity path (exact XLA-gather ops, unsorted)
     fwd_parity = bench_forward(jax, jnp, morton=False)
     train_fast = bench_train_step(jax, jnp, morton=True)
+    train_pre = bench_train_step(jax, jnp, morton=True, presorted=True)
     train_cps = bench_train_step(jax, jnp)
     knn_ms = bench_knn(jax, jnp)
     flex_ms = bench_flex_conv(jax, jnp)
@@ -205,6 +214,8 @@ def main():
                     "fwd_parity_mode_clouds_per_sec": round(fwd_parity, 1),
                     "train_step_morton_clouds_per_sec@20x8192":
                         round(train_fast, 1),
+                    "train_step_presorted_clouds_per_sec@20x8192":
+                        round(train_pre, 1),
                     "train_step_clouds_per_sec@20x8192": round(train_cps, 1),
                     "knn_k8_ms@20x8192": round(knn_ms, 2),
                     "flex_conv_64x64_ms@20x8192": round(flex_ms, 2),

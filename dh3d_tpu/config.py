@@ -83,6 +83,9 @@ def basic_config():
         # and use the banded one-hot-matmul kernels instead of XLA gathers
         # (TPU fast path; exact via out-of-band correction)
         morton_order=False,
+        # input clouds (and any sample/knn indices) are already Z-order
+        # sorted by the loader; skip the in-graph sort (training only)
+        morton_presorted=False,
         grad_clip_norm=None,      # optional global-norm gradient clip
     )
 

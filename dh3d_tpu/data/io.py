@@ -132,3 +132,37 @@ def restore_scale_pcd(pcd, knn=3):
     d, _ = cKDTree(pts[:, :3]).query(pts[:, :3], k=knn)
     scale = 0.2 / np.mean(d)
     return pts * scale
+
+
+def morton_sort_np(points, bits=10):
+    """Sort each cloud along the Z-order curve on the HOST (numpy twin of
+    `ops/pallas/banded_pallas.morton_perm`, same 10-bit quantization).
+
+    points [N, 3] or [B, N, 3] -> sorted copy.  Used by the training
+    loader under `cfg.morton_presorted`: the sort runs in the prefetch
+    thread (free) and the jitted step skips its in-graph argsort.
+    Band quality is invariant to the rigid rotations the step applies
+    afterwards (rotations preserve pairwise distances).
+    """
+    pts = np.asarray(points, np.float32)
+    single = pts.ndim == 2
+    if single:
+        pts = pts[None]
+    lo = pts.min(axis=1, keepdims=True)
+    hi = pts.max(axis=1, keepdims=True)
+    scale = (2 ** bits - 1) / np.maximum(hi - lo, 1e-9)
+    q = np.clip((pts - lo) * scale, 0, 2 ** bits - 1).astype(np.uint32)
+
+    def spread(x):
+        x = x & np.uint32(0x3FF)
+        x = (x | (x << 16)) & np.uint32(0x30000FF)
+        x = (x | (x << 8)) & np.uint32(0x300F00F)
+        x = (x | (x << 4)) & np.uint32(0x30C30C3)
+        x = (x | (x << 2)) & np.uint32(0x9249249)
+        return x
+
+    code = (spread(q[..., 0]) | (spread(q[..., 1]) << np.uint32(1))
+            | (spread(q[..., 2]) << np.uint32(2)))
+    perm = np.argsort(code, axis=1, kind="stable")
+    out = np.take_along_axis(pts, perm[..., None], axis=1)
+    return out[0] if single else out

@@ -71,7 +71,14 @@ class DH3D(nn.Module):
         # order is kept there — no unpermute gathers in the train step).
         method = "banded" if cfg.morton_order else "gather"
         inv_perm = None
-        if cfg.morton_order:
+        if cfg.morton_order and cfg.morton_presorted:
+            # clouds arrive already Z-order sorted (the training loader
+            # sorts on the host inside the prefetch thread — free) and
+            # sample/knn indices are already in sorted space; outputs
+            # stay in sorted order (training only; losses are
+            # permutation-equivariant)
+            pass
+        elif cfg.morton_order:
             from dh3d_tpu.ops.pallas.banded_pallas import morton_perm
 
             perm, inv_perm = morton_perm(points)

@@ -246,3 +246,36 @@ def test_morton_order_train_step(rng):
         losses.append(float(m["total_cost"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_morton_presorted_matches_ingraph_sort(rng):
+    """Already-sorted input + morton_presorted=True must equal the
+    in-graph-sort path on the same input (the stable argsort of sorted
+    codes is the identity permutation, so both run the same compute)."""
+    import jax
+
+    from dh3d_tpu import config as cfglib
+    from dh3d_tpu.data.io import morton_sort_np
+    from dh3d_tpu.nn import DH3D
+
+    cfg = cfglib.get_config("basic_config")
+    cfg.num_points = 64
+    cfg.sampled_kpnum = -1
+    cfg.input_R = False
+    cfg.morton_order = True
+    pts = morton_sort_np(rng.randn(2, 64, 3).astype(np.float32) * 5)
+
+    model = DH3D(cfg)
+    variables = jax.jit(lambda k, p: model.init(k, p, train=False))(
+        jax.random.PRNGKey(0), jnp.asarray(pts))
+    out_sort = model.apply(variables, jnp.asarray(pts), train=False)
+
+    cfg2 = cfglib.get_config("basic_config")
+    for k, v in (("num_points", 64), ("sampled_kpnum", -1),
+                 ("input_R", False), ("morton_order", True),
+                 ("morton_presorted", True)):
+        cfg2[k] = v
+    out_pre = DH3D(cfg2).apply(variables, jnp.asarray(pts), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_sort["local_desc"]), np.asarray(out_pre["local_desc"]),
+        rtol=1e-5, atol=1e-5)

@@ -56,6 +56,16 @@ def synthetic_global_batches(cfg, seed=0):
 def real_batches(cfg):
     from dh3d_tpu.data import GlobalTrainTriplet, LocalTrainSelfPair
 
+    def presort(gen):
+        """Host-side Morton sort in the loader (prefetch-hidden) so the
+        jitted step skips its in-graph argsort (cfg.morton_presorted)."""
+        from dh3d_tpu.data.io import morton_sort_np
+
+        for batch in gen:
+            yield {k: (morton_sort_np(v)
+                       if k in ("points", "pc1", "pc2") else v)
+                   for k, v in batch.items()}
+
     if cfg.training_local:
         ds = LocalTrainSelfPair(
             basedir=cfg.data_basedir,
@@ -72,8 +82,12 @@ def real_batches(cfg):
             if cfg.device_pairgen:
                 # host does load+normalize only; rotation/FPS/1-NN run
                 # inside the jitted step (dh3d_tpu/data/pairgen.py)
-                yield from ds.raw_batches(cfg.batch_size)
+                gen = ds.raw_batches(cfg.batch_size)
+                yield from (presort(gen) if cfg.morton_presorted else gen)
             else:
+                assert not cfg.morton_presorted, (
+                    "morton_presorted requires device_pairgen for local "
+                    "training (host sample_inds are in load order)")
                 yield from ds.batches(cfg.batch_size)
     else:
         ds = GlobalTrainTriplet(
@@ -87,7 +101,8 @@ def real_batches(cfg):
             aug=cfg.data_aug,
         )
         while True:
-            yield from ds.batches(cfg.batch_size)
+            gen = ds.batches(cfg.batch_size)
+            yield from (presort(gen) if cfg.morton_presorted else gen)
 
 
 def main():
