@@ -27,6 +27,14 @@ def make_forward(cfg, variables, model=None):
 
     from dh3d_tpu.nn import DH3D
 
+    # Eval clouds are never host-presorted; a checkpoint trained with
+    # morton_presorted must fall back to the in-graph Z-order sort (exact
+    # and order-invariant) or banded kNN would run over arbitrary index
+    # order and silently degrade every neighborhood.  cfg is shared by
+    # reference with any caller-constructed model, so this covers both.
+    if cfg.morton_presorted:
+        cfg.morton_presorted = False
+
     model = model or DH3D(cfg)
 
     @jax.jit

@@ -70,8 +70,12 @@ def device_nms(xyz, attention, nms_radius, min_response_ratio, max_keypoints,
     thresh = jnp.max(att) * min_response_ratio
     keep = is_max & (att > thresh)
     score = jnp.where(keep, att, -jnp.inf)
-    top_att, order = jnp.sort(score)[::-1][:max_keypoints], \
-        jnp.argsort(-score)[:max_keypoints]
+    # Host parity: `sorted([(att, idx)], reverse=True)` orders ties in
+    # attention by DESCENDING index (tuple comparison under reverse=True),
+    # so the secondary lexsort key is the negated index.
+    n = score.shape[0]
+    order = jnp.lexsort((-jnp.arange(n), -score))[:max_keypoints]
+    top_att = score[order]
     valid = top_att > -jnp.inf
     n_kp = int(jnp.sum(valid))
     order = jnp.where(valid, order, -1)

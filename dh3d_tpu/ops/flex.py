@@ -189,7 +189,12 @@ def flex_avg(features, neighborhood, method="gather", tile=256, window=512,
     if method == "banded" and _banded_ok(features, neighborhood, tile):
         from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
 
-        ones = jnp.ones(neighborhood.shape + (1,), features.dtype)
+        # Derive from a traced operand so the weights stay a tracer under
+        # jit: a concrete jnp.ones would become an embedded jit constant
+        # next to traced operands — the S(1)-prefetch misread pitfall
+        # (`_mixed_tracer_const`), which the guard can't see for
+        # self-constructed arrays.
+        ones = jnp.ones_like(neighborhood, dtype=features.dtype)[..., None]
         return banded_weighted_sum(
             features, neighborhood, ones, None, tile, window, fast, False,
             assume_inband,
@@ -273,7 +278,8 @@ def conv_pointset(features, neighborhood, theta, bias, method="gather",
     if method == "banded" and _banded_ok(features, neighborhood, tile):
         from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
 
-        ones = jnp.ones(neighborhood.shape + (1,), features.dtype)
+        # Tracer-derived ones (not a trace-time constant) — see flex_avg.
+        ones = jnp.ones_like(neighborhood, dtype=features.dtype)[..., None]
         Din = features.shape[-1]
         if fast:
             # hi/lo-split the features into two bf16 channels: the model

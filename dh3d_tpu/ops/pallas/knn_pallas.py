@@ -211,6 +211,39 @@ def _knn_banded_call(query, keys, k, window, tile_q, packed, interpret):
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
 
 
+def _knn_kernel_slab(q_ref, keys_ref, vals_ref, idx_ref, *, k, slab):
+    """One slab's exact top-k: grid step (b, query-tile i, slab s).
+
+    Same unrolled min/argmin/mask extraction as `_knn_kernel`, over a
+    [TQ, slab] distance tile.  Used by the slab-streamed large-k path —
+    putting the slab on the GRID keeps the kernel at k unrolled passes
+    (a Python loop over slabs inside one kernel multiplies the pass count
+    by S and sends Mosaic compile time through the roof; fori_loop
+    variants hang the backend compiler outright)."""
+    s = pl.program_id(2)
+    tq = q_ref.shape[2]
+    start = s * slab
+
+    d2 = jnp.zeros((tq, slab), jnp.float32)
+    for d in range(3):
+        qcol = q_ref[0, d, :][:, None]
+        krow = keys_ref[0, d, :][None, :]
+        diff = qcol - krow
+        d2 = d2 + diff * diff
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tq, slab), 1)
+    vals, idxs = [], []
+    for _ in range(k):
+        m = jnp.min(d2, axis=1)
+        amin = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        vals.append(m)
+        idxs.append(amin + start)
+        d2 = jnp.where(lanes == amin[:, None], jnp.inf, d2)
+
+    vals_ref[0, 0] = jnp.stack(vals, axis=1)
+    idx_ref[0, 0] = jnp.stack(idxs, axis=1)
+
+
 def knn_pallas(query, keys, k, tile_q=256, interpret=False, packed=False):
     """Exact kNN of `keys` for each `query` point (cross- or self-cloud).
 
@@ -219,7 +252,9 @@ def knn_pallas(query, keys, k, tile_q=256, interpret=False, packed=False):
     ascending).  Handles arbitrary M/N by padding: keys are padded with a
     far-away sentinel (never selected while k <= true N), queries padded and
     the extra rows sliced off.  The query-tile height adapts so the [TQ, N]
-    distance tile stays within the VMEM budget.
+    distance tile stays within the VMEM budget; large k or N beyond the
+    budget at TQ=128 routes to the slab-streamed kernel (Mosaic cannot
+    lower query tiles narrower than one 128-lane vreg).
     """
     query = query.astype(jnp.float32)
     keys = keys.astype(jnp.float32)
@@ -234,18 +269,84 @@ def knn_pallas(query, keys, k, tile_q=256, interpret=False, packed=False):
 
     # large k keeps more live copies of the [TQ, N] distance tile in the
     # unrolled extraction (measured: k=50 at TQ=256, N=4096 hits the 16 MB
-    # scoped-vmem limit) — shrink the query tile accordingly
-    budget = _VMEM_BUDGET if k < 32 else 3 * 1024 * 1024
-    while tile_q > 8 and tile_q * N * 4 > budget:
+    # scoped-vmem limit) — those route to the slab kernel below
+    use_slab = k >= 32
+    while tile_q > 128 and tile_q * N * 4 > _VMEM_BUDGET:
         tile_q //= 2
-    tile_q = min(tile_q, max(8, M))
+    if tile_q * N * 4 > _VMEM_BUDGET:
+        use_slab = True  # even a 128-row tile over-budgets: stream keys
+    if M < tile_q:
+        tile_q = max(8, M)  # single block == array dim: always lowerable
     m_pad = (-M) % tile_q
     if m_pad:
         query = jnp.pad(query, ((0, 0), (0, m_pad), (0, 0)))
 
-    idx, d2 = _knn_pallas_call(query, keys, k, tile_q, interpret, packed)
+    if use_slab:
+        # 128-row query tile + 2048-key slabs: the distance tile is 1 MB
+        # regardless of N, and the kernel stays at k unrolled passes
+        tile_q = min(tile_q, 128)
+        m_pad = (-M) % tile_q
+        query = query[:, :M]
+        if m_pad:
+            query = jnp.pad(query, ((0, 0), (0, m_pad), (0, 0)))
+        slab = min(2048, N)
+        s_pad = (-N) % slab
+        if s_pad:  # pad keys to a whole number of slabs (far sentinel)
+            keys = jnp.pad(keys, ((0, 0), (0, s_pad), (0, 0)),
+                           constant_values=1e30)
+        idx, d2 = _knn_slabbed_call(query, keys, k, tile_q, slab,
+                                    interpret)
+    else:
+        idx, d2 = _knn_pallas_call(query, keys, k, tile_q, interpret,
+                                   packed)
     if m_pad:
         idx, d2 = idx[:, :M], d2[:, :M]
+    return idx, d2
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_q", "slab",
+                                             "interpret"))
+def _knn_slabbed_call(query, keys, k, tile_q, slab, interpret):
+    """Two stages: per-slab exact top-k on the grid, then an XLA merge.
+
+    The union of per-slab top-k's contains the global top-k, so a stable
+    argsort over the S*k candidates is exact.  Candidate order is
+    slab-major then rank, so equal distances resolve to the lowest global
+    index — the same tie rule as `_knn_kernel` and the reference's stable
+    sort (`knn_bruteforce_kernel.cc:65-68`)."""
+    B, M, _ = query.shape
+    N = keys.shape[1]
+    S = N // slab
+    q_t = jnp.transpose(query, (0, 2, 1))
+    keys_t = jnp.transpose(keys, (0, 2, 1))
+    kernel = functools.partial(_knn_kernel_slab, k=k, slab=slab)
+    vals, gidx = pl.pallas_call(
+        kernel,
+        grid=(B, M // tile_q, S),
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_q), lambda b, i, s: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, slab), lambda b, i, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_q, k), lambda b, i, s: (b, s, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_q, k), lambda b, i, s: (b, s, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, M, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, M, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_t, keys_t)
+    # merge: [B, S, M, k] -> [B, M, S*k] candidates, stable-sorted
+    vals = jnp.transpose(vals, (0, 2, 1, 3)).reshape(B, M, S * k)
+    gidx = jnp.transpose(gidx, (0, 2, 1, 3)).reshape(B, M, S * k)
+    order = jnp.argsort(vals, axis=-1, stable=True)[..., :k]
+    d2 = jnp.take_along_axis(vals, order, axis=-1)
+    idx = jnp.take_along_axis(gidx, order, axis=-1)
     return idx, d2
 
 

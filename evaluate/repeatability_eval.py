@@ -40,6 +40,12 @@ def build_extract_fn(model_path, num_points):
     cfg.sampled_kpnum = -1
     cfg.input_R = False
     cfg.extract_global = False
+    # Eval clouds here are NOT host-presorted; a checkpoint trained with
+    # morton_presorted would otherwise skip the in-graph Z-order sort and
+    # run banded kNN over an arbitrary index order.  The non-presorted
+    # morton path sorts in-graph and unpermutes — exact and
+    # order-invariant — so force it at eval time.
+    cfg.morton_presorted = False
     if not cfg.detection:
         raise SystemExit(
             f"{model_path} has no detector (cfg.detection is falsy) — "

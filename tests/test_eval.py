@@ -122,6 +122,26 @@ def test_device_nms_matches_host(rng):
     np.testing.assert_array_equal(np.asarray(idx_d)[:n_d], idx_h)
 
 
+def test_device_nms_tie_parity(rng):
+    """Exact attention ties must order identically to the host NMS.
+
+    The host `sorted([(att, idx)], reverse=True)` breaks ties by
+    DESCENDING index; trained sigmoid attention produces exact ties
+    (saturated scores, bf16-quantized logits), modeled here by snapping
+    attention to a 16-level grid so many spatially-separated survivors
+    share a value."""
+    xyz = rng.randn(300, 3).astype(np.float32) * 4
+    att = (np.floor(rng.rand(300) * 16) / 16 + 1 / 16).astype(np.float32)
+    n_h, idx_h = single_nms(xyz.astype(np.float64), att.copy(), 0.5, 0.01,
+                            100, remove_noise=True)
+    # precondition: the fixture actually exercises ties among survivors
+    surv_att = att[idx_h]
+    assert len(surv_att) != len(np.unique(surv_att)), "fixture has no ties"
+    n_d, idx_d = device_nms(xyz, att, 0.5, 0.01, 100, remove_noise=True)
+    assert n_h == n_d
+    np.testing.assert_array_equal(np.asarray(idx_d)[:n_d], idx_h)
+
+
 def test_retrieval_recall_synthetic(rng):
     # two sequences; descriptors = noisy position encodings so retrieval
     # works by construction
@@ -306,3 +326,79 @@ def test_prec_rec_separable(rng):
     # tpr/fpr are monotone in threshold direction
     assert (np.diff(tpr) >= -1e-12).all()
     assert (np.diff(fpr) >= -1e-12).all()
+
+
+def test_euler_roundtrip_all_24_conventions(rng):
+    """euler_matrix / euler_from_matrix round-trip for every axis
+    convention (the doctest protocol of `core/utils.py:491-547`)."""
+    from dh3d_tpu.utils import transforms as T
+
+    angles = (4 * np.pi) * (rng.rand(3) - 0.5)
+    for axes in T._AXES2TUPLE:
+        R0 = T.euler_matrix(*angles, axes=axes)
+        R1 = T.euler_matrix(*T.euler_from_matrix(R0, axes), axes=axes)
+        np.testing.assert_allclose(R0, R1, atol=1e-10, err_msg=axes)
+
+
+def test_euler_gimbal_lock_branch():
+    from dh3d_tpu.utils import transforms as T
+
+    # sxyz gimbal lock: middle angle = pi/2 (cy == 0 branch)
+    R0 = T.euler_matrix(0.3, np.pi / 2, 0.7, "sxyz")
+    R1 = T.euler_matrix(*T.euler_from_matrix(R0, "sxyz"), axes="sxyz")
+    np.testing.assert_allclose(R0, R1, atol=1e-10)
+    # repeated-axis lock: middle angle = 0 (sy == 0 branch)
+    R0 = T.euler_matrix(0.4, 0.0, -0.2, "sxyx")
+    R1 = T.euler_matrix(*T.euler_from_matrix(R0, "sxyx"), axes="sxyx")
+    np.testing.assert_allclose(R0, R1, atol=1e-10)
+
+
+def test_angle_errors(rng):
+    from dh3d_tpu.utils import transforms as T
+
+    Rz = T.euler_matrix(0, 0, np.deg2rad(10))[:3, :3]
+    assert abs(T.angle_error1(np.eye(3), Rz) - 10.0) < 1e-8
+    # angle_error2 sums |euler| of the relative rotation (radians)
+    assert abs(T.angle_error2(np.eye(3), Rz) - np.deg2rad(10)) < 1e-10
+    assert T.angle_error2(Rz, Rz) < 1e-12
+
+
+def test_random_quaternion_and_rotation(rng):
+    from dh3d_tpu.utils import transforms as T
+
+    q = T.random_quaternion(rand=rng.rand(3))
+    assert abs(np.linalg.norm(q) - 1.0) < 1e-12
+    R = T.random_rotation_matrix(rand=rng.rand(3))
+    assert R.shape == (4, 4)
+    np.testing.assert_allclose(R.T @ R, np.eye(4), atol=1e-12)
+    assert abs(np.linalg.det(R[:3, :3]) - 1.0) < 1e-12
+    # deterministic under a seeded Generator
+    g1 = np.random.default_rng(7)
+    g2 = np.random.default_rng(7)
+    np.testing.assert_array_equal(T.random_quaternion(rng=g1),
+                                  T.random_quaternion(rng=g2))
+
+
+def test_quaternion_precise_matches_eig(rng):
+    from dh3d_tpu.utils import transforms as T
+
+    for _ in range(10):
+        R = T.random_rotation_matrix(rand=rng.rand(3))
+        q_eig = T.quaternion_from_matrix(R)
+        q_pre = T.quaternion_from_matrix_precise(R)
+        np.testing.assert_allclose(q_eig, q_pre, atol=1e-8)
+
+
+def test_vector_norm_variants(rng):
+    from dh3d_tpu.utils.transforms import vector_norm
+
+    v = rng.rand(6, 5, 3)
+    np.testing.assert_allclose(vector_norm(v, axis=-1),
+                               np.sqrt((v * v).sum(2)))
+    np.testing.assert_allclose(vector_norm(v, axis=1),
+                               np.sqrt((v * v).sum(1)))
+    assert vector_norm([]) == 0.0
+    assert vector_norm([1]) == 1.0
+    out = np.empty((6, 3))
+    vector_norm(v, axis=1, out=out)
+    np.testing.assert_allclose(out, np.sqrt((v * v).sum(1)))
