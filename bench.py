@@ -14,11 +14,19 @@ through a carried scalar prevents CSE/overlap-elision), then force one
 scalar readback and divide.
 
 The CUDA reference publishes no throughput numbers (BASELINE.json
-`published` == {}), so `vs_baseline` is reported against the north-star
-target derived there: >=5x an estimated 20 clouds/s for the TF1/CUDA
-reference at batch 20 x 8192 pts on its era GPU — i.e. vs_baseline =
-value / 100.  (BASELINE.md:25.)
+`published` == {}), so `vs_baseline` uses the DERIVED as-built ceiling of
+the reference pipeline (BASELINE.md "Derived throughput baseline"): the
+reference's full forward runs three_nn/three_interpolate on the host in a
+single scalar thread (no CUDA kernel exists for them), which alone bounds
+it at <= 23.0 clouds/s for the full forward and <= 42.5 for the train step
+at 20 x 8192 — measured via scripts/ref_cpu_bound.cc and granting the
+reference host 2x this machine's single-thread speed.  vs_baseline =
+value / 23.0; the train extra reports its own ratio against 42.5.
 """
+
+# BASELINE.md "Derived throughput baseline": as-built reference ceilings
+REF_FWD_CEILING = 23.0     # clouds/s, full fwd (2x three_nn + interps)
+REF_TRAIN_CEILING = 42.5   # clouds/s, local/detection train step
 
 import json
 import time
@@ -209,13 +217,17 @@ def main():
                           "path",
                 "value": round(fwd_fast, 1),
                 "unit": "clouds/s",
-                "vs_baseline": round(fwd_fast / 100.0, 2),
+                "vs_baseline": round(fwd_fast / REF_FWD_CEILING, 2),
                 "extra": {
                     "fwd_parity_mode_clouds_per_sec": round(fwd_parity, 1),
+                    "fwd_parity_vs_baseline":
+                        round(fwd_parity / REF_FWD_CEILING, 2),
                     "train_step_morton_clouds_per_sec@20x8192":
                         round(train_fast, 1),
                     "train_step_presorted_clouds_per_sec@20x8192":
                         round(train_pre, 1),
+                    "train_step_presorted_vs_baseline":
+                        round(train_pre / REF_TRAIN_CEILING, 2),
                     "train_step_clouds_per_sec@20x8192": round(train_cps, 1),
                     "knn_k8_ms@20x8192": round(knn_ms, 2),
                     "flex_conv_64x64_ms@20x8192": round(flex_ms, 2),

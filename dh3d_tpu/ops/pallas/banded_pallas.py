@@ -144,6 +144,164 @@ def _bwd_kernel(dmw_hbm, idx_ref, out_ref, dmw_win, sem, *,
     out_ref[0] = out
 
 
+def _bwd_w1_kernel(dm_hbm, idx_ref, w_ref, out_ref, dm_win, sem, *,
+                   T, W, WB, K, N, M, C, win_dtype, prec):
+    """Fused P=1 transpose: dfeat[j,:] = sum over in-band (n,k) with
+    nbh[n,k]==j of w[n,k] * dm[n,:].
+
+    Equivalent to `_bwd_from_dmw` on dmw[n,k,:] = w[n,k]*dm[n,:], but the
+    [B, N, K, C] cotangent never exists in HBM — the per-k scaling happens
+    on the VPU against the window already resident in VMEM (K broadcast
+    multiplies of [WB, C]).  Covers every production P=1 user of the
+    generic kernel: flex_avg, conv_pointset, three_interpolate."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    center = (2 * j * T + T) * N // (2 * M)
+    qstart = jnp.clip(center - WB // 2, 0, N - WB)
+    qstart = (qstart // _ALIGN) * _ALIGN
+    cp = pltpu.make_async_copy(dm_hbm.at[b, pl.ds(qstart, WB), :],
+                               dm_win, sem)
+    cp.start()
+
+    j_ids = j * T + jax.lax.broadcasted_iota(jnp.int32, (T, WB), 0)
+    n_abs = qstart + jax.lax.broadcasted_iota(jnp.int32, (T, WB), 1)
+    fcenter = (2 * (n_abs // T) * T + T) * M // (2 * N)
+    fstart = jnp.clip(fcenter - W // 2, 0, M - W)
+    fstart = (fstart // _ALIGN) * _ALIGN
+    inband = (j_ids >= fstart) & (j_ids < fstart + W)
+
+    cp.wait()
+    dmw = dm_win[:, :]
+    out = jnp.zeros((T, C), jnp.float32)
+    for k in range(K):
+        idx_row = idx_ref[0, k, pl.ds(qstart, WB)][None, :]  # [1, WB]
+        oh = ((j_ids == idx_row) & inband).astype(win_dtype)
+        w_col = w_ref[0, k, pl.ds(qstart, WB)]  # [WB] f32
+        scaled = (dmw * w_col[:, None]).astype(win_dtype)
+        out = out + jnp.dot(oh, scaled,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+    out_ref[0] = out
+
+
+def _bwd_slot_kernel(dval_hbm, slot_hbm, idx_ref, out_ref, dval_win,
+                     slot_win, sem1, sem2, *, T, W, WB, K, N, M, C,
+                     win_dtype, prec):
+    """Fused max-pool transpose: dfeat[j,:] += dval[n,:] wherever
+    nbh[n, slot[n,c]] == j (in-band).  Equivalent to `_bwd_from_dmw` on
+    dmk[n,k,:] = dval[n,:]*[slot(n,:)==k], without materializing the
+    [B, N, K, C] slot-masked cotangent in HBM — the per-channel slot mask
+    is applied on the VPU in VMEM (K compare+selects of [WB, C])."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    center = (2 * j * T + T) * N // (2 * M)
+    qstart = jnp.clip(center - WB // 2, 0, N - WB)
+    qstart = (qstart // _ALIGN) * _ALIGN
+    cp1 = pltpu.make_async_copy(dval_hbm.at[b, pl.ds(qstart, WB), :],
+                                dval_win, sem1)
+    cp1.start()
+    cp2 = pltpu.make_async_copy(slot_hbm.at[b, pl.ds(qstart, WB), :],
+                                slot_win, sem2)
+    cp2.start()
+
+    j_ids = j * T + jax.lax.broadcasted_iota(jnp.int32, (T, WB), 0)
+    n_abs = qstart + jax.lax.broadcasted_iota(jnp.int32, (T, WB), 1)
+    fcenter = (2 * (n_abs // T) * T + T) * M // (2 * N)
+    fstart = jnp.clip(fcenter - W // 2, 0, M - W)
+    fstart = (fstart // _ALIGN) * _ALIGN
+    inband = (j_ids >= fstart) & (j_ids < fstart + W)
+
+    cp1.wait()
+    cp2.wait()
+    dval = dval_win[:, :]
+    slot = slot_win[:, :]
+    out = jnp.zeros((T, C), jnp.float32)
+    for k in range(K):
+        idx_row = idx_ref[0, k, pl.ds(qstart, WB)][None, :]  # [1, WB]
+        oh = ((j_ids == idx_row) & inband).astype(win_dtype)
+        masked = jnp.where(slot == k, dval, 0.0).astype(win_dtype)
+        out = out + jnp.dot(oh, masked,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+    out_ref[0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("T", "W", "WB", "M", "fast",
+                                             "interpret"))
+def _bwd_from_w1(dm, idx_t, w_t, T, W, WB, M, fast, interpret):
+    """dm [B, N, C], w_t [B, K, N] -> dfeat [B, M, C] (fused P=1 path)."""
+    B, N, C0 = dm.shape
+    K = idx_t.shape[1]
+    cpad = (-C0) % 128
+    if cpad:
+        dm = jnp.pad(dm, ((0, 0), (0, 0), (0, cpad)))
+    C = C0 + cpad
+    win_dtype = jnp.bfloat16 if fast else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+    if fast:
+        dm = dm.astype(jnp.bfloat16)  # halves the window DMA traffic
+    out = pl.pallas_call(
+        functools.partial(_bwd_w1_kernel, T=T, W=W, WB=WB, K=K, N=N,
+                          M=M, C=C, win_dtype=win_dtype, prec=prec),
+        grid=(B, M // T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, K, N), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, N), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, C), lambda b, j: (b, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((WB, C), dm.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(dm, idx_t, w_t)
+    return out[..., :C0]
+
+
+@functools.partial(jax.jit, static_argnames=("T", "W", "WB", "M", "fast",
+                                             "interpret"))
+def _bwd_from_slot(dval, slot, idx_t, T, W, WB, M, fast, interpret):
+    """dval/slot [B, N, C] -> dfeat [B, M, C] (fused max-pool path)."""
+    B, N, C0 = dval.shape
+    K = idx_t.shape[1]
+    cpad = (-C0) % 128
+    if cpad:
+        dval = jnp.pad(dval, ((0, 0), (0, 0), (0, cpad)))
+        # padded channels: slot pads with -1 (matches no k, zero grad)
+        slot = jnp.pad(slot, ((0, 0), (0, 0), (0, cpad)),
+                       constant_values=-1)
+    C = C0 + cpad
+    win_dtype = jnp.bfloat16 if fast else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+    if fast:
+        dval = dval.astype(jnp.bfloat16)  # halves the window DMA traffic
+    out = pl.pallas_call(
+        functools.partial(_bwd_slot_kernel, T=T, W=W, WB=WB, K=K, N=N,
+                          M=M, C=C, win_dtype=win_dtype, prec=prec),
+        grid=(B, M // T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, K, N), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, C), lambda b, j: (b, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((WB, C), dval.dtype),
+                        pltpu.VMEM((WB, C), jnp.int32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(dval, slot, idx_t)
+    return out[..., :C0]
+
+
 def _pad_c(x):
     c = x.shape[-1]
     pad = (-c) % 128
@@ -663,8 +821,16 @@ def _banded_vjp_bwd(P, tile, window, fast, interpret, assume_inband,
     if WB > N:
         WB = N
     dm = dm.astype(jnp.float32)
-    inband = _banded_bwd_call(dm, idx_t, weights.astype(jnp.float32),
-                              P, tile, window, WB, M, fast, interpret)
+    if weights.shape[-1] == 1:
+        # P=1 (flex_avg / conv_pointset / three_interpolate): fused kernel
+        # scales the cotangent window in VMEM — the [B, N, K, C] dmw
+        # intermediate never touches HBM
+        w_t = jnp.transpose(weights[..., 0], (0, 2, 1)).astype(jnp.float32)
+        inband = _bwd_from_w1(dm, idx_t, w_t, tile, window, WB, M, fast,
+                              interpret)
+    else:
+        inband = _banded_bwd_call(dm, idx_t, weights.astype(jnp.float32),
+                                  P, tile, window, WB, M, fast, interpret)
     if assume_inband:
         return inband.astype(features.dtype), None, \
             jnp.zeros_like(weights)
@@ -861,21 +1027,17 @@ def _banded_max_vjp_bwd(tile, window, fast, interpret, assume_inband,
     B, M, C = features.shape
     N = arg_or_slot.shape[1]
     if assume_inband:
-        # dmk[n, k, :] = dval[n, :] masked to the winning slot k — then
-        # the shared banded transpose kernel scatters it to dfeat
+        # fused transpose: the slot mask (dmk[n,k,:] = dval[n,:] where
+        # slot==k) is applied inside the kernel in VMEM — no [B, N, K, C]
+        # HBM intermediate
         slot = arg_or_slot
-        K = nbh.shape[2]
         dval = jnp.where(slot >= 0, dval, 0.0)
-        dmk = (dval[:, :, None, :]
-               * (slot[:, :, None, :]
-                  == jnp.arange(K, dtype=jnp.int32)[None, None, :, None]
-                  ).astype(dval.dtype))  # [B, N, K, C]
         idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
         WB = window + 2 * tile
         if WB > N:
             WB = N
-        dfeat = _bwd_from_dmw(dmk.astype(jnp.float32), idx_t, tile,
-                              window, WB, M, fast, interpret)
+        dfeat = _bwd_from_slot(dval.astype(jnp.float32), slot, idx_t,
+                               tile, window, WB, M, fast, interpret)
         return dfeat.astype(fdtype), None
     arg = arg_or_slot
     safe_arg = jnp.maximum(arg, 0)

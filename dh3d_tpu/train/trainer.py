@@ -49,12 +49,22 @@ class TrainState:
 
 
 def lr_schedule(cfg):
-    """Staircase exponential decay (`core/model.py:249-253`)."""
-    return optax.exponential_decay(
+    """Staircase exponential decay (`core/model.py:249-253`), with an
+    optional linear warmup (cfg.warmup_steps) — a stage-3 stabilizer for
+    the hinge losses, which see violently violated margins at a freshly
+    initialized NetVLAD head (RESULTS.md r2: oscillation on the demo GT)."""
+    decay = optax.exponential_decay(
         init_value=cfg.start_lr,
         transition_steps=cfg.decay_step,
         decay_rate=cfg.decay_rate,
         staircase=True,
+    )
+    warmup = int(cfg.get("warmup_steps") or 0)
+    if warmup <= 0:
+        return decay
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, cfg.start_lr, warmup), decay],
+        boundaries=[warmup],
     )
 
 
@@ -298,6 +308,26 @@ def save_checkpoint(ckpt_dir: str, state: TrainState,
     ckptr.save(path, payload)
     ckptr.wait_until_finished()
     return path
+
+
+def load_npz_checkpoint(path: str):
+    """Load a repo-committed .npz checkpoint (scripts/package_checkpoint.py)
+    back into {"params": ..., "batch_stats": ..., "step": ...} nested dicts
+    — the same shape `load_checkpoint` returns for an orbax directory."""
+    import numpy as np
+
+    flat = np.load(path)
+    out: Dict[str, Any] = {"params": {}, "batch_stats": {}}
+    for key in flat.files:
+        if key == "step":
+            out["step"] = int(flat[key])
+            continue
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[key]
+    return out
 
 
 def load_checkpoint(path: str, target=None):

@@ -392,3 +392,56 @@ def test_flex_moments_banded_fast_jit_const(rng):
     oracle = _flex_moments(feat, pos, nbh)
     np.testing.assert_allclose(np.asarray(f(feat)), np.asarray(oracle),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_banded_weighted_sum_grad_p1_fused(rng):
+    """P=1 VJP routes through the fused _bwd_w1 kernel (the per-k scaling
+    happens inside the kernel; no [B,N,K,C] dmw intermediate) — must match
+    the dense VJP both with the oob correction and under assume_inband."""
+    import jax
+
+    from dh3d_tpu.ops.pallas.banded_pallas import (
+        _starts_host,
+        banded_weighted_sum,
+    )
+
+    B, N, K, C, T, W = 1, 512, 4, 32, 128, 128
+    feat = rng.randn(B, N, C).astype(np.float32)
+    off = (rng.randn(B, N, K) * 20).astype(np.int64)
+    nbh = np.clip(np.arange(N)[None, :, None] + off, 0, N - 1).astype(np.int32)
+    w = rng.randn(B, N, K, 1).astype(np.float32)
+    dm = rng.randn(B, N, C).astype(np.float32)
+
+    def f_dense(x, i, ww, d):
+        f_k = jax.vmap(lambda v, ix: v[ix])(x, i)
+        out = jnp.einsum("bnkp,bnkc->bnpc", ww, f_k,
+                         precision="highest").reshape(B, N, C)
+        return jnp.vdot(out, d)
+
+    # (a) arbitrary indices + oob correction
+    def f_corr(x, i, ww, d):
+        return jnp.vdot(banded_weighted_sum(
+            x, i, ww, None, T, W, False, INTERP), d)
+
+    args = (jnp.asarray(feat), jnp.asarray(nbh), jnp.asarray(w),
+            jnp.asarray(dm))
+    g_b = jax.jit(jax.grad(f_corr))(*args)
+    g_d = jax.jit(jax.grad(f_dense))(*args)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d),
+                               rtol=2e-4, atol=2e-4)
+
+    # (b) in-band indices + assume_inband (no correction at all)
+    starts = np.asarray(_starts_host(N, N, T, W))
+    nbh_in = (starts[None, :, None]
+              + rng.randint(0, W, (B, N, K))).astype(np.int32)
+
+    def f_inband(x, i, ww, d):
+        return jnp.vdot(banded_weighted_sum(
+            x, i, ww, None, T, W, False, INTERP, True), d)
+
+    args_in = (jnp.asarray(feat), jnp.asarray(nbh_in), jnp.asarray(w),
+               jnp.asarray(dm))
+    g_bi = jax.jit(jax.grad(f_inband))(*args_in)
+    g_di = jax.jit(jax.grad(f_dense))(*args_in)
+    np.testing.assert_allclose(np.asarray(g_bi), np.asarray(g_di),
+                               rtol=2e-4, atol=2e-4)

@@ -53,7 +53,7 @@ def synthetic_global_batches(cfg, seed=0):
         yield {"points": rng.randn(total, N, 3).astype(np.float32) * 20}
 
 
-def real_batches(cfg):
+def real_batches(cfg, seed=0):
     from dh3d_tpu.data import GlobalTrainTriplet, LocalTrainSelfPair
 
     def presort(gen):
@@ -68,6 +68,7 @@ def real_batches(cfg):
 
     if cfg.training_local:
         ds = LocalTrainSelfPair(
+            seed=seed,
             basedir=cfg.data_basedir,
             train_file=os.path.join(cfg.data_basedir,
                                     "oxford_train_local_gt.pickle"),
@@ -91,6 +92,7 @@ def real_batches(cfg):
                 yield from ds.batches(cfg.batch_size)
     else:
         ds = GlobalTrainTriplet(
+            seed=seed,
             basedir=cfg.data_basedir,
             train_file=os.path.join(cfg.data_basedir,
                                     "oxford_train_global_gt.pickle"),
@@ -119,6 +121,9 @@ def main():
                         help="capture a jax.profiler trace of steps 10-15 "
                              "into <logdir>/profile")
     parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--seed", type=int, default=0,
+                        help="seeds model init, the data sampler order, and "
+                             "the on-device pairgen/augment key streams")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--data_basedir", default=None)
     parser.add_argument("--num_points", type=int, default=None)
@@ -162,9 +167,9 @@ def main():
     cfglib.save_config(cfg, os.path.join(logdir, "config.json"))
 
     batches = (
-        (synthetic_local_batches(cfg) if cfg.training_local
-         else synthetic_global_batches(cfg))
-        if args.synthetic else real_batches(cfg)
+        (synthetic_local_batches(cfg, args.seed) if cfg.training_local
+         else synthetic_global_batches(cfg, args.seed))
+        if args.synthetic else real_batches(cfg, args.seed)
     )
     if (cfg.prefetch or 0) > 0 and not args.synthetic:
         from dh3d_tpu.data import ThreadedPrefetcher
@@ -178,7 +183,8 @@ def main():
 
     metrics_log = open(os.path.join(logdir, "metrics.jsonl"), "a")
     with jax.sharding.set_mesh(mesh):
-        state = trainlib.init_state(cfg, jax.random.PRNGKey(0), first)
+        state = trainlib.init_state(
+            cfg, jax.random.PRNGKey(args.seed), first)
         if args.resume:
             state = trainlib.restore_state(args.resume, state)
             print(f"resumed at step {int(state.step)} from {args.resume}")
@@ -192,8 +198,8 @@ def main():
         step_fn = trainlib.make_train_step(cfg, donate=True)
         t0 = time.time()
         start = int(state.step)
-        pg_key = jax.random.PRNGKey(1)
-        aug_key = jax.random.PRNGKey(2)
+        pg_key = jax.random.PRNGKey(1000 + args.seed)
+        aug_key = jax.random.PRNGKey(2000 + args.seed)
         for i in range(start, start + args.steps):
             batch = dict(first if i == start else next(batches))
             if cfg.device_pairgen and "pc1" in batch:
