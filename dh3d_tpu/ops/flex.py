@@ -111,8 +111,12 @@ def _flex_moments_banded(features, positions, neighborhood, tile, window,
 
         pos0 = jnp.take_along_axis(
             positions, neighborhood[:, :, 0][..., None], axis=1)
+        # keep_pad: moments stay at the kernel's lane-padded channel
+        # count; flex_conv pads the weight rows to match (exact — the
+        # padded features are zeros)
         return flex_moments_banded_fast(features, positions, pos0,
-                                        neighborhood, tile, window)
+                                        neighborhood, tile, window,
+                                        False, True)
     from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
 
     p_k = gather_neighbors(positions, neighborhood)  # [B,N,K,Dp] small
@@ -176,7 +180,15 @@ def flex_conv(features, positions, neighborhood, theta, bias,
         m = m.astype(features.dtype)
     else:
         m = _flex_moments(features, positions, neighborhood)
-    w = jnp.concatenate([bias[None], theta], axis=0).reshape((1 + Dp) * Din, Dout)
+    w = jnp.concatenate([bias[None], theta], axis=0)  # [1+Dp, Din, Dout]
+    c_m = m.shape[-1] // (1 + Dp)
+    if c_m != Din:
+        # keep_pad moments: zero-pad the weight rows to the kernel's
+        # lane-padded channel count (padded feature channels are zeros,
+        # so this is exact) — avoids slicing/re-laying-out the big
+        # [B, N, (1+Dp)*C] moment tensor between kernel and matmul
+        w = jnp.pad(w, ((0, 0), (0, c_m - Din), (0, 0)))
+    w = w.reshape((1 + Dp) * c_m, Dout)
     return jnp.einsum("bnc,cd->bnd", m, w, precision="highest", preferred_element_type=jnp.float32)
 
 

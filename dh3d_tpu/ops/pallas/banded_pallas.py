@@ -477,7 +477,7 @@ def _moments_fwd_kernel(feat_hbm, pos_ref, pos0_ref, idx_ref, out_ref,
 
 
 def _moments_bwd_kernel(dm_hbm, pos_ref, pos0_ref, idx_ref, out_ref,
-                        dm_win, sem, *, T, W, WB, K, N, C):
+                        dm_win, sem, *, T, W, WB, K, N, C, lo):
     """Transpose of `_moments_fwd_kernel` w.r.t. features:
 
       dfeat[j, :] = sum over in-band (n, k) with nbh[n,k]==j of
@@ -525,26 +525,43 @@ def _moments_bwd_kernel(dm_hbm, pos_ref, pos0_ref, idx_ref, out_ref,
         a = a - pos0[:, None] * dmp
 
     planes = []
-    for x in (a, *dmps):
-        hi, lo = _hi_lo(x)
-        planes.append(hi)
-        planes.append(lo)
+    if lo:
+        for x in (a, *dmps):
+            h, l = _hi_lo(x)
+            planes.append(h)
+            planes.append(l)
+    else:
+        # single-plane bf16 cotangent (~3e-3 relative on dfeat): gradients
+        # tolerate bf16 rounding — this is the same precision class as the
+        # forward's own bf16 feature window, at half the matmul/VPU work
+        planes = [x.astype(jnp.bfloat16) for x in (a, *dmps)]
+    span = 2 if lo else 1
     g = jnp.dot(rcnt, jnp.concatenate(planes, axis=-1),
-                preferred_element_type=jnp.float32)  # [T, 8C]
-    out = g[:, 0:C] + g[:, C:2 * C]  # Rcnt @ A (hi + lo)
+                preferred_element_type=jnp.float32)  # [T, 4C or 8C]
+
+    def plane(i):
+        base = i * span * C
+        gp = g[:, base:base + C]
+        if lo:
+            gp = gp + g[:, base + C:base + 2 * C]
+        return gp
+
+    out = plane(0)  # Rcnt @ A
     for p in range(3):
         posj = posj3[p] - cs[p]  # [T] key positions, centered
-        gp = (g[:, (2 + 2 * p) * C:(3 + 2 * p) * C]
-              + g[:, (3 + 2 * p) * C:(4 + 2 * p) * C])
-        out = out + posj[:, None] * gp
+        out = out + posj[:, None] * plane(1 + p)
     out_ref[0] = out
 
 
-@functools.partial(jax.jit, static_argnames=("T", "W", "interpret"))
-def _moments_fwd_call(feat, pos_t, pos0_t, idx_t, T, W, interpret):
+@functools.partial(jax.jit, static_argnames=("T", "W", "interpret",
+                                             "keep_pad"))
+def _moments_fwd_call(feat, pos_t, pos0_t, idx_t, T, W, interpret,
+                      keep_pad=False):
     B, N, C0 = feat.shape
     K = idx_t.shape[1]
     feat, C0, C = _pad_c(feat)
+    if keep_pad:
+        C0 = C  # emit [B, N, 4*Cpad]; the caller pads the weight rows
     feat = feat.astype(jnp.bfloat16)
     # sublane pad 3 -> 8 keeps the position operands on native tile rows
     pos_t = jnp.pad(pos_t, ((0, 0), (0, 5), (0, 0)))
@@ -573,8 +590,10 @@ def _moments_fwd_call(feat, pos_t, pos0_t, idx_t, T, W, interpret):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("T", "W", "WB", "interpret"))
-def _moments_bwd_call(dm, pos_t, pos0_t, idx_t, T, W, WB, interpret):
+@functools.partial(jax.jit, static_argnames=("T", "W", "WB", "interpret",
+                                             "lo"))
+def _moments_bwd_call(dm, pos_t, pos0_t, idx_t, T, W, WB, interpret,
+                      lo=True):
     B, N, C4 = dm.shape
     C0 = C4 // 4
     K = idx_t.shape[1]
@@ -588,7 +607,7 @@ def _moments_bwd_call(dm, pos_t, pos0_t, idx_t, T, W, WB, interpret):
     pos0_t = jnp.pad(pos0_t, ((0, 0), (0, 5), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_moments_bwd_kernel, T=T, W=W, WB=WB, K=K, N=N,
-                          C=C),
+                          C=C, lo=lo),
         grid=(B, N // T),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -609,9 +628,17 @@ def _moments_bwd_call(dm, pos_t, pos0_t, idx_t, T, W, WB, interpret):
     return out[..., :C0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+# moments-backward cotangent precision: True = hi/lo bf16x2 planes
+# (~1e-4 relative, r2 default), False = single bf16 plane (~3e-3 relative,
+# half the backward kernel work).  Module-level because it selects a
+# static kernel variant; flipped by cfg.fast_grads via nn/model.py.
+MOMENTS_BWD_LO = True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def flex_moments_banded_fast(features, positions, pos0, nbh,
-                             tile=256, window=512, interpret=False):
+                             tile=256, window=512, interpret=False,
+                             keep_pad=False):
     """Flex-conv neighborhood moments on the specialized banded kernel.
 
     features [B, N, C]; positions [B, N, 3] (same set: N == M); pos0
@@ -620,6 +647,13 @@ def flex_moments_banded_fast(features, positions, pos0, nbh,
     (use indices from `knn_pallas.knn_banded` with the same tile/window).
     Returns [B, N, 4*C] p-major moments: [sum_k f, sum_k dx*f, dy*f, dz*f].
 
+    `keep_pad=True` returns the moments at the kernel's lane-padded
+    channel count 4*Cpad (Cpad = C rounded up to 128) instead of slicing
+    back — callers pad the weight-matrix rows with zeros (exact) and feed
+    the padded moments straight into the output matmul, which removes a
+    pad + slice + two [B, N, 4*Cpad] layout copies per conv from the hot
+    path (measured ~6 ms/step at [20, 8192] x2 convs).
+
     Differentiable in `features`; positions/pos0/nbh get zero cotangent
     (reference parity: the CUDA flex kernels have no position gradient).
     """
@@ -627,19 +661,19 @@ def flex_moments_banded_fast(features, positions, pos0, nbh,
     pos_t = jnp.transpose(positions, (0, 2, 1)).astype(jnp.float32)
     pos0_t = jnp.transpose(pos0, (0, 2, 1)).astype(jnp.float32)
     return _moments_fwd_call(features, pos_t, pos0_t, idx_t, tile, window,
-                             interpret)
+                             interpret, keep_pad)
 
 
 def _moments_vjp_fwd(features, positions, pos0, nbh, tile, window,
-                     interpret):
+                     interpret, keep_pad):
     out = flex_moments_banded_fast(features, positions, pos0, nbh, tile,
-                                   window, interpret)
+                                   window, interpret, keep_pad)
     # `features` rides along only for its (static) shape/dtype — residual
     # leaves must be JAX types
     return out, (features, positions, pos0, nbh)
 
 
-def _moments_vjp_bwd(tile, window, interpret, res, dm):
+def _moments_vjp_bwd(tile, window, interpret, keep_pad, res, dm):
     features, positions, pos0, nbh = res
     fdtype = features.dtype
     N = nbh.shape[1]
@@ -650,7 +684,11 @@ def _moments_vjp_bwd(tile, window, interpret, res, dm):
     if WB > N:
         WB = N
     dfeat = _moments_bwd_call(dm.astype(jnp.float32), pos_t, pos0_t,
-                              idx_t, tile, window, WB, interpret)
+                              idx_t, tile, window, WB, interpret,
+                              lo=MOMENTS_BWD_LO)
+    C0 = features.shape[-1]
+    if dfeat.shape[-1] != C0:  # keep_pad: dm was lane-padded
+        dfeat = dfeat[..., :C0]
     return (dfeat.astype(fdtype), None, None, None)
 
 
