@@ -54,16 +54,24 @@ def _knn_kernel_packed(q_ref, keys_ref, idx_ref, dist_ref, *, k, idx_bits):
     bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
     keys = jax.lax.bitwise_or(jax.lax.bitwise_and(bits, mask), lanes)
 
+    # Fused extraction: packed keys are UNIQUE (index in the low bits), so
+    # "mask the previous winner" is equivalent to "strictly greater than
+    # the previous minimum".  Folding that compare into the next pass's
+    # min-reduction keeps `keys` read-only — no 4*TQ*N-byte masked copy is
+    # materialized per extraction (halves VMEM traffic per pass).
     idxs, dists = [], []
+    prev = None
     for _ in range(k):
-        mk = jnp.min(keys, axis=1)  # one reduction gives value AND index
+        cand = keys if prev is None else jnp.where(
+            keys > prev[:, None], keys, jnp.int32(0x7FFFFFFF))
+        mk = jnp.min(cand, axis=1)  # one reduction gives value AND index
         amin = jax.lax.bitwise_and(mk, jnp.int32((1 << idx_bits) - 1))
         val = jax.lax.bitcast_convert_type(
             jax.lax.bitwise_and(mk, mask), jnp.float32
         )
         idxs.append(amin)
         dists.append(val)
-        keys = jnp.where(keys == mk[:, None], jnp.int32(0x7FFFFFFF), keys)
+        prev = mk
 
     idx_ref[0] = jnp.stack(idxs, axis=1)
     dist_ref[0] = jnp.stack(dists, axis=1)
@@ -131,16 +139,20 @@ def _knn_kernel_banded(q_ref, keys_ref, idx_ref, dist_ref, *, k, W,
         mask = jnp.int32(~((1 << idx_bits) - 1))
         bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
         keys = jax.lax.bitwise_or(jax.lax.bitwise_and(bits, mask), lanes)
+        # fused strict-greater extraction (see _knn_kernel_packed): keys
+        # are unique, so no masked copy needs materializing per pass
         idxs, dists = [], []
+        prev = None
         for _ in range(k):
-            mk = jnp.min(keys, axis=1)
+            cand = keys if prev is None else jnp.where(
+                keys > prev[:, None], keys, jnp.int32(0x7FFFFFFF))
+            mk = jnp.min(cand, axis=1)
             amin = jax.lax.bitwise_and(mk, jnp.int32((1 << idx_bits) - 1))
             val = jax.lax.bitcast_convert_type(
                 jax.lax.bitwise_and(mk, mask), jnp.float32)
             idxs.append(amin + start)
             dists.append(val)
-            keys = jnp.where(keys == mk[:, None], jnp.int32(0x7FFFFFFF),
-                             keys)
+            prev = mk
     else:
         idxs, dists = [], []
         for _ in range(k):

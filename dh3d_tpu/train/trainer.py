@@ -318,6 +318,33 @@ def save_checkpoint(ckpt_dir: str, state: TrainState,
     return path
 
 
+def resolve_model(path: str):
+    """Load a trained model from either surface the framework produces:
+    a training logdir (config.json + ckpt/step_* orbax dirs) or a packaged
+    `<stem>.npz` + `<stem>.config.json` pair (scripts/package_checkpoint.py).
+
+    Returns (cfg, variables) ready for `DH3D(cfg).apply(variables, ...)` —
+    the load pattern every eval CLI shares (the reference reads its
+    config.json the same way, `globaldesc_extract.py:51-58`)."""
+    import os
+
+    from dh3d_tpu import config as cfglib
+
+    if path.endswith(".npz") or os.path.isfile(path + ".npz"):
+        stem = path[:-4] if path.endswith(".npz") else path
+        cfg = cfglib.load_config(stem + ".config.json")
+        loaded = load_npz_checkpoint(stem + ".npz")
+    else:
+        cfg = cfglib.load_config(os.path.join(path, "config.json"))
+        ckpts = sorted(
+            d for d in os.listdir(os.path.join(path, "ckpt"))
+            if d.startswith("step_"))
+        loaded = load_checkpoint(os.path.join(path, "ckpt", ckpts[-1]))
+    variables = {"params": loaded["params"],
+                 "batch_stats": loaded["batch_stats"]}
+    return cfg, variables
+
+
 def load_npz_checkpoint(path: str):
     """Load a repo-committed .npz checkpoint (scripts/package_checkpoint.py)
     back into {"params": ..., "batch_stats": ..., "step": ...} nested dicts

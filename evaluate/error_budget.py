@@ -1,0 +1,326 @@
+#!/usr/bin/env python
+"""Morton fast-path error budget — the evidence for making it the default.
+
+Quantifies, on TRAINED weights and ALL demo clouds, what the Morton-band
+approximation (banded kNN + bf16 banded kernels; `dh3d_tpu/ops/pallas/
+banded_pallas.py`) changes relative to the exact-semantics parity path
+(`ops.flex_*` gathers + exact kNN, matching `user_ops/knn_bruteforce
+_kernel.cc:25-72` / `flex_conv_kernel.cc:48-68` semantics):
+
+  A. per-op     banded-kNN neighbor agreement + neighbor-distance error
+                over every demo cloud
+  B. model      per-point local-descriptor cosine drift, attention-rank
+                correlation, top-K keypoint overlap, per-cloud global-
+                descriptor cosine drift (parity fwd vs morton fwd, same
+                trained weights)
+  C. task       cross-sequence retrieval recall parity-vs-morton with a
+                PAIRED BOOTSTRAP CI over queries, and partial-overlap
+                keypoint repeatability in both modes
+
+Writes one JSON artifact (--json) and prints a markdown summary suitable
+for docs/ERROR_BUDGET.md.
+
+Usage:
+  python evaluate/error_budget.py \
+      --local_model /tmp/curriculum/seed0/stage2 \
+      --global_model /tmp/curriculum/seed0/stage3 \
+      --pcdpath /root/reference/evaluate/global_eval/demo_data \
+      --json /tmp/error_budget.json
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def load_variables(model_path):
+    from dh3d_tpu.train import resolve_model
+
+    return resolve_model(model_path)
+
+
+def forward_pair(cfg, variables, extract_global, num_points):
+    """(parity_fwd, morton_fwd) jitted closures over the same weights."""
+    import copy
+
+    from dh3d_tpu.eval.extract import make_forward
+    from dh3d_tpu.nn import DH3D
+
+    fwds = {}
+    for mode, morton in (("parity", False), ("morton", True)):
+        c = copy.deepcopy(cfg)
+        c.num_points = num_points
+        c.sampled_kpnum = -1
+        c.input_R = False
+        c.extract_global = extract_global
+        c.morton_order = morton
+        c.morton_presorted = False
+        fwds[mode] = make_forward(c, variables, DH3D(c))
+    return fwds["parity"], fwds["morton"]
+
+
+def load_clouds(pcdpath, num_points, rng):
+    from dh3d_tpu.data.io import load_single_pcfile
+
+    files = sorted(glob.glob(os.path.join(pcdpath, "*", "*.bin")))
+    clouds = []
+    for f in files:
+        pts = load_single_pcfile(f)
+        if len(pts) >= num_points:
+            sel = rng.choice(len(pts), num_points, replace=False)
+        else:
+            sel = rng.choice(len(pts), num_points, replace=True)
+        clouds.append(pts[sel].astype(np.float32))
+    return files, clouds
+
+
+def knn_agreement(clouds, k=8, window=512):
+    """A: exact vs banded kNN over Z-sorted clouds (the in-model setting)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dh3d_tpu.data.io import morton_sort_np
+    from dh3d_tpu.ops.knn import knn_bruteforce
+    from dh3d_tpu.ops.pallas.knn_pallas import knn_banded
+
+    interpret = jax.default_backend() == "cpu"
+    agree, dist_relerr = [], []
+    for pts in clouds:
+        z = morton_sort_np(pts)
+        zj = jnp.asarray(z[None])
+        ex_i, _ = knn_bruteforce(zj, k=k)
+        bd_i, _ = knn_banded(zj, zj, k=k, window=window,
+                             interpret=interpret)
+        ex_i, bd_i = np.asarray(ex_i[0]), np.asarray(bd_i[0])
+        match = np.array([
+            len(set(a).intersection(b)) for a, b in zip(ex_i, bd_i)
+        ]) / float(k)
+        agree.append(match.mean())
+        # distance error of the chosen neighbors vs the true k-NN radius
+        d_ex = np.linalg.norm(z[ex_i] - z[:, None], axis=-1)
+        d_bd = np.linalg.norm(z[bd_i] - z[:, None], axis=-1)
+        denom = np.maximum(d_ex.max(axis=1), 1e-9)
+        dist_relerr.append(
+            np.maximum(d_bd.max(axis=1) - d_ex.max(axis=1), 0.0) / denom)
+    dist_relerr = np.concatenate(dist_relerr)
+    return {
+        "neighbor_agreement_mean": float(np.mean(agree)),
+        "neighbor_agreement_min_cloud": float(np.min(agree)),
+        "knn_radius_relerr_p50": float(np.percentile(dist_relerr, 50)),
+        "knn_radius_relerr_p99": float(np.percentile(dist_relerr, 99)),
+        "knn_radius_relerr_max": float(dist_relerr.max()),
+    }
+
+
+def local_drift(cfg, variables, clouds, topk=512):
+    """B (local model): per-point descriptor cosine + attention agreement."""
+    fwd_p, fwd_m = forward_pair(cfg, variables, False, clouds[0].shape[0])
+
+    cos_all, rank_corr, kp_overlap = [], [], []
+    for pts in clouds:
+        batch = pts[None]
+        op = {k: np.asarray(v) for k, v in fwd_p(batch).items()}
+        om = {k: np.asarray(v) for k, v in fwd_m(batch).items()}
+        dp, dm = op["local_desc"][0], om["local_desc"][0]
+        cos = np.sum(dp * dm, axis=-1)  # both already l2-normalized
+        cos_all.append(cos)
+        if "attention" in op:
+            ap, am = op["attention"][0].ravel(), om["attention"][0].ravel()
+            rp = np.argsort(np.argsort(ap))
+            rm = np.argsort(np.argsort(am))
+            rank_corr.append(float(np.corrcoef(rp, rm)[0, 1]))
+            tp = set(np.argsort(-ap)[:topk])
+            tm = set(np.argsort(-am)[:topk])
+            kp_overlap.append(len(tp & tm) / float(topk))
+    cos_all = np.concatenate(cos_all)
+    out = {
+        "local_desc_cos_p50": float(np.percentile(cos_all, 50)),
+        "local_desc_cos_p01": float(np.percentile(cos_all, 1)),
+        "local_desc_cos_min": float(cos_all.min()),
+        "local_desc_cos_frac_below_0.99": float(np.mean(cos_all < 0.99)),
+    }
+    if rank_corr:
+        out.update({
+            "attention_spearman_mean": float(np.mean(rank_corr)),
+            "attention_spearman_min": float(np.min(rank_corr)),
+            f"keypoint_overlap@{topk}_mean": float(np.mean(kp_overlap)),
+            f"keypoint_overlap@{topk}_min": float(np.min(kp_overlap)),
+        })
+    return out
+
+
+def global_drift_and_retrieval(cfg, variables, pcdpath, num_points,
+                               n_boot=5000, seed=0):
+    """B (global desc drift) + C (paired-bootstrap retrieval parity)."""
+    import tempfile
+
+    from dh3d_tpu import config as cfglib  # noqa: F401  (kept for parity)
+    from dh3d_tpu.data import GlobalTestDataset
+    from dh3d_tpu.eval.extract import extract_global
+    from dh3d_tpu.eval.retrieval import (
+        compute_tp_fp,
+        is_gt_match_2d,
+        load_sets_from_dir,
+    )
+    from dh3d_tpu.nn import DH3D
+    import copy
+
+    ref_gt = os.path.join(pcdpath, "global_ref_demo.pickle")
+    query_gt = os.path.join(pcdpath, "global_query_demo.pickle")
+
+    dirs = {}
+    for mode, morton in (("parity", False), ("morton", True)):
+        c = copy.deepcopy(cfg)
+        c.num_points = num_points
+        c.sampled_kpnum = -1
+        c.input_R = False
+        c.extract_global = True
+        c.morton_order = morton
+        c.morton_presorted = False
+        out = tempfile.mkdtemp(prefix=f"ebudget_{mode}_")
+        done = set()
+        for gt_file in (ref_gt, query_gt):
+            ds = GlobalTestDataset(pcdpath, gt_file, numpts=num_points)
+            ds.files = [f for f in ds.files if f not in done]
+            done.update(ds.files)
+            extract_global(c, variables, ds, out, batch_size=4,
+                           model=DH3D(c))
+        dirs[mode] = out
+
+    # per-cloud global-descriptor cosine drift
+    cos = []
+    for f in sorted(glob.glob(os.path.join(dirs["parity"], "**", "*.bin"),
+                              recursive=True)):
+        rel = os.path.relpath(f, dirs["parity"])
+        a = np.fromfile(f, np.float32)
+        b = np.fromfile(os.path.join(dirs["morton"], rel), np.float32)
+        cos.append(float(np.dot(a, b) /
+                         max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)))
+    cos = np.asarray(cos)
+
+    # per-query hit vectors for the paired bootstrap (cross-sequence
+    # protocol, `evaluation_retrieval.py:129-158`)
+    hits = {}
+    for mode in ("parity", "morton"):
+        ref_sets = load_sets_from_dir(ref_gt, dirs[mode])
+        query_sets = load_sets_from_dir(query_gt, dirs[mode])
+        h1, h25 = [], []
+        for refseq in sorted(ref_sets):
+            for queryseq in sorted(query_sets):
+                if refseq == queryseq:
+                    continue
+                ref, query = ref_sets[refseq], query_sets[queryseq]
+                gt = is_gt_match_2d(query["pos"], ref["pos"])
+                tp_cum, valid, _ = compute_tp_fp(ref["desc"], query["desc"],
+                                                 gt)
+                h1.append((tp_cum[valid, 0] > 0))
+                h25.append((tp_cum[valid, -1] > 0))
+        hits[mode] = (np.concatenate(h1).astype(float),
+                      np.concatenate(h25).astype(float))
+
+    rng = np.random.default_rng(seed)
+    nq = len(hits["parity"][0])
+    boots = {"r1": [], "r25": []}
+    for _ in range(n_boot):
+        idx = rng.integers(0, nq, nq)
+        boots["r1"].append(hits["morton"][0][idx].mean()
+                           - hits["parity"][0][idx].mean())
+        boots["r25"].append(hits["morton"][1][idx].mean()
+                            - hits["parity"][1][idx].mean())
+
+    def ci(v):
+        return [float(np.percentile(v, 2.5)), float(np.percentile(v, 97.5))]
+
+    return {
+        "global_desc_cos_p50": float(np.percentile(cos, 50)),
+        "global_desc_cos_min": float(cos.min()),
+        "n_clouds": int(len(cos)),
+        "n_queries": int(nq),
+        "recall@1_parity": float(hits["parity"][0].mean()),
+        "recall@1_morton": float(hits["morton"][0].mean()),
+        "recall@25_parity": float(hits["parity"][1].mean()),
+        "recall@25_morton": float(hits["morton"][1].mean()),
+        "recall@1_diff_morton_minus_parity_ci95": ci(boots["r1"]),
+        "recall@25_diff_morton_minus_parity_ci95": ci(boots["r25"]),
+    }
+
+
+def repeatability_parity(cfg, variables, clouds, num_points, seed=0):
+    """C: partial-overlap repeatability@512 in both modes."""
+    from dh3d_tpu.eval.repeatability import (
+        make_partial_overlap_pairs,
+        repeatability_curve_pairs,
+    )
+
+    fwd_p, fwd_m = forward_pair(cfg, variables, False, num_points)
+
+    def extractor(fwd):
+        def fn(pts):
+            outs = fwd(pts[None].astype(np.float32))
+            att = np.asarray(outs["attention"][0]).ravel()
+            return np.asarray(pts), att
+        return fn
+
+    pairs = make_partial_overlap_pairs(clouds, numpts=num_points,
+                                       seed=seed)
+    out = {}
+    for mode, fwd in (("parity", fwd_p), ("morton", fwd_m)):
+        rep = repeatability_curve_pairs(extractor(fwd), pairs, ks=(512,))
+        out[f"repeatability@512_{mode}"] = float(rep[512])
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--local_model", required=True,
+                   help="detection_config logdir or packaged .npz")
+    p.add_argument("--global_model", required=True)
+    p.add_argument("--pcdpath",
+                   default="/root/reference/evaluate/global_eval/demo_data")
+    p.add_argument("--num_points", type=int, default=8192)
+    p.add_argument("--max_clouds", type=int, default=0,
+                   help="0 = all clouds")
+    p.add_argument("--rep_clouds", type=int, default=20,
+                   help="clouds for the repeatability protocol")
+    p.add_argument("--json", default="/tmp/error_budget.json")
+    args = p.parse_args()
+
+    rng = np.random.default_rng(0)
+    files, clouds = load_clouds(args.pcdpath, args.num_points, rng)
+    if args.max_clouds:
+        clouds = clouds[:args.max_clouds]
+    print(f"{len(clouds)} demo clouds @ {args.num_points} pts", flush=True)
+
+    report = {"num_points": args.num_points, "n_clouds": len(clouds)}
+
+    report["A_knn"] = knn_agreement(clouds)
+    print("A (kNN):", json.dumps(report["A_knn"], indent=1), flush=True)
+
+    lcfg, lvars = load_variables(args.local_model)
+    report["B_local"] = local_drift(lcfg, lvars, clouds)
+    print("B (local):", json.dumps(report["B_local"], indent=1), flush=True)
+
+    gcfg, gvars = load_variables(args.global_model)
+    report["BC_global"] = global_drift_and_retrieval(
+        gcfg, gvars, args.pcdpath, args.num_points)
+    print("B+C (global/retrieval):",
+          json.dumps(report["BC_global"], indent=1), flush=True)
+
+    report["C_repeatability"] = repeatability_parity(
+        lcfg, lvars, clouds[:args.rep_clouds], args.num_points)
+    print("C (repeatability):",
+          json.dumps(report["C_repeatability"], indent=1), flush=True)
+
+    with open(args.json, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()

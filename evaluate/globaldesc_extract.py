@@ -27,7 +27,6 @@ def main():
     p.add_argument("--eval_recall", action="store_true")
     args = p.parse_args()
 
-    from dh3d_tpu import config as cfglib
     from dh3d_tpu import train as trainlib
     from dh3d_tpu.data import GlobalTestDataset
     from dh3d_tpu.eval import (
@@ -38,20 +37,11 @@ def main():
     )
     from dh3d_tpu.nn import DH3D
 
-    cfg = cfglib.load_config(os.path.join(args.ModelPath, "config.json"))
+    cfg, variables = trainlib.resolve_model(args.ModelPath)
     cfg.num_points = args.num_points
     cfg.sampled_kpnum = -1
     cfg.input_R = False
     cfg.extract_global = True
-
-    ckpts = sorted(
-        d for d in os.listdir(os.path.join(args.ModelPath, "ckpt"))
-        if d.startswith("step_")
-    )
-    loaded = trainlib.load_checkpoint(
-        os.path.join(args.ModelPath, "ckpt", ckpts[-1]))
-    variables = {"params": loaded["params"],
-                 "batch_stats": loaded["batch_stats"]}
 
     # extract for the union of ref + query sequences, deduplicating clouds
     # that appear in both GT files (each output path is extracted once)

@@ -41,25 +41,15 @@ def main():
 
     import jax
 
-    from dh3d_tpu import config as cfglib
     from dh3d_tpu import train as trainlib
     from dh3d_tpu.data import LocalTestDataset
     from dh3d_tpu.eval import extract_local
     from dh3d_tpu.nn import DH3D
 
-    cfg = cfglib.load_config(os.path.join(args.ModelPath, "config.json"))
+    cfg, variables = trainlib.resolve_model(args.ModelPath)
     cfg.num_points = 16384 if args.dataset == "oxford_lidar" else 9000
     cfg.sampled_kpnum = -1
     cfg.input_R = False
-
-    ckpts = sorted(
-        d for d in os.listdir(os.path.join(args.ModelPath, "ckpt"))
-        if d.startswith("step_")
-    )
-    loaded = trainlib.load_checkpoint(
-        os.path.join(args.ModelPath, "ckpt", ckpts[-1]))
-    variables = {"params": loaded["params"],
-                 "batch_stats": loaded["batch_stats"]}
 
     ds = LocalTestDataset(
         args.pcdpath, numpts=cfg.num_points, dim=args.dim,

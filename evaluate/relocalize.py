@@ -23,26 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_model(model_path, extract_global, num_points):
-    from dh3d_tpu import config as cfglib
     from dh3d_tpu import train as trainlib
     from dh3d_tpu.nn import DH3D
 
-    cfg = cfglib.load_config(os.path.join(model_path, "config.json"))
+    cfg, variables = trainlib.resolve_model(model_path)
     cfg.num_points = num_points
     cfg.sampled_kpnum = -1
     cfg.input_R = False
     cfg.extract_global = extract_global
-    if extract_global is False and not cfg.detection:
-        # keypoint scores needed for NMS; fall back to uniform attention
-        pass
-    ckpts = sorted(
-        d for d in os.listdir(os.path.join(model_path, "ckpt"))
-        if d.startswith("step_")
-    )
-    loaded = trainlib.load_checkpoint(
-        os.path.join(model_path, "ckpt", ckpts[-1]))
-    variables = {"params": loaded["params"],
-                 "batch_stats": loaded["batch_stats"]}
     return cfg, DH3D(cfg), variables
 
 

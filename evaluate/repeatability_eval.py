@@ -30,12 +30,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def build_extract_fn(model_path, num_points):
-    from dh3d_tpu import config as cfglib
     from dh3d_tpu import train as trainlib
     from dh3d_tpu.eval.extract import make_forward
     from dh3d_tpu.nn import DH3D
 
-    cfg = cfglib.load_config(os.path.join(model_path, "config.json"))
+    cfg, variables = trainlib.resolve_model(model_path)
     cfg.num_points = num_points
     cfg.sampled_kpnum = -1
     cfg.input_R = False
@@ -50,13 +49,6 @@ def build_extract_fn(model_path, num_points):
         raise SystemExit(
             f"{model_path} has no detector (cfg.detection is falsy) — "
             "repeatability needs per-point attention")
-    ckpts = sorted(
-        d for d in os.listdir(os.path.join(model_path, "ckpt"))
-        if d.startswith("step_"))
-    loaded = trainlib.load_checkpoint(
-        os.path.join(model_path, "ckpt", ckpts[-1]))
-    variables = {"params": loaded["params"],
-                 "batch_stats": loaded["batch_stats"]}
     fwd = make_forward(cfg, variables, DH3D(cfg))
 
     def extract_fn(cloud):
