@@ -35,6 +35,7 @@ start then advances at rate M/N.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -1089,6 +1090,404 @@ def _banded_max_vjp_bwd(tile, window, fast, interpret, assume_inband,
 
 
 banded_max.defvjp(_banded_max_vjp_fwd, _banded_max_vjp_bwd)
+
+
+# --------------------- slot-compacted exact correction ---------------------
+#
+# The lax.cond correction above is exact but executes both branches on this
+# backend (docs/PERF_NOTES.md) and its compaction scatter is issue-bound.
+# The *planned* path below makes banded ops exact for arbitrary indices with
+# NO cond and NO scatter anywhere:
+#
+#   1. oob_plan() compacts the out-of-band entries once per neighborhood
+#      (shared by every op on that level) by SORTING flattened entry ids —
+#      ascending (n, k) order is query-tile-major, so each output tile's
+#      entries form one contiguous run of the compacted list.
+#   2. Per op, XLA gathers the cap source rows and forms per-entry
+#      contributions; a small Pallas kernel then DELIVERS them: each output
+#      tile DMAs a fixed-width window of the compacted list starting at its
+#      (data-dependent, SMEM-prefetched) run offset and multiplies a
+#      [T, WE] one-hot (qrow == row) against the [WE, P*C] window on the
+#      MXU.  Every entry lands in exactly one row, so even the f32 path is
+#      exact (the 3-pass f32 matmul decomposition is linear per term).
+#   3. The transpose (VJP) uses a second ordering of the same list sorted
+#      by SOURCE row, delivered by the same kernel into dfeat tiles.
+#
+# Capacity: `cap` (total) and `we` (per-tile window) are static; entries
+# beyond either are dropped and counted in plan.overflow (observable by the
+# caller; zero across all demo clouds at cap=N*K/8, we=640 — per-tile p99.9
+# is 380 of 640).
+
+
+class OobPlan(NamedTuple):
+    """Compacted out-of-band entry plan for one neighborhood level.
+
+    All fields are [B, ...] arrays (safe inside jit / custom_vjp residuals):
+      e          [B, cap] int32   flattened (n*K + k) entry id, ascending
+                                  (query-tile-major); invalid slots -> 0
+      qrow       [B, cap] int32   query row n per slot; invalid -> 2**30
+      src        [B, cap] int32   source key row nbh[n, k]; invalid -> 0
+      valid      [B, cap] bool
+      win_start  [B, NT] int32    per-query-tile window start into the list
+      s_src      [B, cap] int32   src sorted ascending (transpose ordering);
+                                  invalid -> 2**30
+      perm12     [B, cap] int32   slot index (fwd order) per transpose slot
+      win_start2 [B, MT] int32    per-key-tile window start (transpose)
+      overflow   [B] int32        entries dropped by cap/window limits
+    """
+
+    e: jax.Array
+    qrow: jax.Array
+    src: jax.Array
+    valid: jax.Array
+    win_start: jax.Array
+    s_src: jax.Array
+    perm12: jax.Array
+    win_start2: jax.Array
+    overflow: jax.Array
+
+
+_SENT = jnp.int32(2 ** 30)  # sentinel row id: never equals a real row
+
+
+def _plan_windows(sorted_rows, n_rows, tile, cap, we):
+    """Per-tile aligned window starts into a row-sorted compact list, plus
+    the count of entries a window fails to cover."""
+    tgt = jnp.arange(0, n_rows, tile, dtype=jnp.int32)
+    lo = jax.vmap(
+        lambda r: jnp.searchsorted(r, tgt, side="left"))(sorted_rows)
+    hi = jax.vmap(
+        lambda r: jnp.searchsorted(r, tgt + tile, side="left"))(sorted_rows)
+    start = jnp.clip((lo // _ALIGN) * _ALIGN, 0, max(cap - we, 0))
+    uncovered = jnp.sum(jnp.maximum(hi.astype(jnp.int32)
+                                    - start - we, 0), axis=1)
+    return start.astype(jnp.int32), uncovered.astype(jnp.int32)
+
+
+def oob_plan(nbh, M, tile=256, window=512, cap=None, we=640):
+    """Build the slot-compaction plan for `nbh` [B, N, K] against the
+    banded kernels' (tile, window) geometry over M key rows.  Pure XLA
+    (sort + searchsorted; no scatter), intended to be computed ONCE per
+    neighborhood level and shared by every planned op on it."""
+    B, N, K = nbh.shape
+    NK = N * K
+    if cap is None:
+        cap = max(we, -(-NK // 8) // _ALIGN * _ALIGN)
+    cap = max(cap, we)
+    starts = _starts_host(N, M, tile, window)
+    oob = _oob_mask(nbh, starts, window).reshape(B, NK)
+    eidx = jnp.arange(NK, dtype=jnp.int32)
+    key = jnp.where(oob, eidx[None], jnp.int32(NK))
+    entries = jax.lax.sort(key, dimension=1)[:, :cap]
+    valid = entries < NK
+    e = jnp.where(valid, entries, 0)
+    qrow = jnp.where(valid, e // K, _SENT)
+    src = jnp.where(
+        valid,
+        jnp.take_along_axis(nbh.reshape(B, NK), e, axis=1), 0
+    ).astype(jnp.int32)
+
+    win_start, unc1 = _plan_windows(qrow, N, tile, cap, we)
+
+    skey = jnp.where(valid, src, _SENT)
+    iota = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32), (B, cap))
+    s_src, perm12 = jax.lax.sort((skey, iota), dimension=1, num_keys=1)
+    win_start2, unc2 = _plan_windows(s_src, M, tile, cap, we)
+
+    total = jnp.sum(oob, axis=1).astype(jnp.int32)
+    overflow = jnp.maximum(total - cap, 0) + unc1 + unc2
+    return OobPlan(e, qrow, src, valid, win_start, s_src, perm12,
+                   win_start2, overflow)
+
+
+def _slot_kernel(contrib_hbm, qrow_ref, off_ref, out_ref, c_win,
+                 sem, *, T, WE, PC, win_dtype, prec):
+    """Deliver compacted per-entry contributions to their target rows:
+    out[t, :] = sum over window slots s with qrow[s] == tile_base + t of
+    contrib[s, :].  The window start is this tile's run offset (SMEM);
+    re-deriving the _ALIGN floor in-kernel (a no-op on the already-aligned
+    values) gives Mosaic the divisibility proof for the slices."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    start = (off_ref[b, i] // _ALIGN) * _ALIGN
+    cp = pltpu.make_async_copy(contrib_hbm.at[b, pl.ds(start, WE), :],
+                               c_win, sem)
+    cp.start()
+    q = qrow_ref[0, 0, pl.ds(start, WE)][None, :]  # [1, WE] int32 (VMEM)
+    rows = i * T + jax.lax.broadcasted_iota(jnp.int32, (T, WE), 0)
+    oh = (q == rows).astype(win_dtype)
+    cp.wait()
+    out_ref[0] = jnp.dot(oh, c_win[:, :],
+                         preferred_element_type=jnp.float32,
+                         precision=prec)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "WE", "n_rows", "fast",
+                                             "interpret"))
+def _slot_deliver(contrib, qrow, win_start, T, WE, n_rows, fast,
+                  interpret):
+    """contrib [B, cap, PC], qrow [B, cap] int32 (row-sorted, sentinel for
+    empty), win_start [B, n_rows//T] int32 -> [B, n_rows, PC] f32."""
+    B, cap, PC0 = contrib.shape
+    pad = (-PC0) % 128
+    if pad:
+        contrib = jnp.pad(contrib, ((0, 0), (0, 0), (0, pad)))
+    PC = PC0 + pad
+    win_dtype = jnp.bfloat16 if fast else jnp.float32
+    # the TPU DEFAULT f32 matmul is one-pass bf16 (see _dense_fwd note) —
+    # exact mode needs HIGHEST to keep the delivered f32 terms exact
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+    if fast:
+        contrib = contrib.astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        functools.partial(_slot_kernel, T=T, WE=WE, PC=PC,
+                          win_dtype=win_dtype, prec=prec),
+        grid=(B, n_rows // T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, cap), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, PC), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_rows, PC), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((WE, PC), contrib.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(contrib, qrow[:, None, :], win_start)
+    return out[..., :PC0]
+
+
+def _plan_gather_weights(weights, plan):
+    """Per-entry weights [B, cap, P] from dense [B, N, K, P]."""
+    B, N, K, P = weights.shape
+    w_e = jnp.take_along_axis(
+        weights.reshape(B, N * K, P), plan.e[..., None], axis=1)
+    return w_e * plan.valid[..., None]
+
+
+def slot_correction(features, w_e, plan, P, tile, we, n_rows, fast,
+                    interpret=False):
+    """Exact out-of-band contribution, delivered scatter-free.
+
+    features [B, M, C]; w_e [B, cap, P] per-entry weights (zeroed where
+    invalid) -> [B, n_rows, P*C] f32, layout matching the banded kernels
+    (p-major, C unpadded)."""
+    B, M, C = features.shape
+    fc = jnp.take_along_axis(
+        features.astype(jnp.float32), plan.src[..., None], axis=1)
+    contrib = (w_e.astype(jnp.float32)[..., :, None]
+               * fc[..., None, :]).reshape(B, -1, P * C)
+    return _slot_deliver(contrib, plan.qrow, plan.win_start, tile, we,
+                         n_rows, fast, interpret)
+
+
+def slot_transpose(dval, plan, tile, we, M, fast, interpret=False):
+    """Deliver per-entry cotangents [B, cap, C] to their SOURCE rows
+    -> [B, M, C] f32 (the scatter-free transpose of slot_correction)."""
+    d2 = jnp.take_along_axis(dval, plan.perm12[..., None], axis=1)
+    return _slot_deliver(d2, plan.s_src, plan.win_start2, tile, we, M,
+                         fast, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def banded_weighted_sum_planned(features, nbh, weights, plan, tile=256,
+                                window=512, we=640, fast=True,
+                                interpret=False):
+    """Exact banded weighted sum with the slot-compacted correction:
+    in-band Pallas kernel + scatter-free out-of-band delivery.  Exact for
+    any index distribution up to the plan's static capacity (overflow is
+    counted in plan.overflow; zero on real Morton-sorted clouds).
+
+    features [B, M, C]; nbh [B, N, K] int32; weights [B, N, K, P];
+    plan = oob_plan(nbh, M, tile, window) -> [B, N, P*C] (p-major).
+    `fast` rounds both the in-band window and the correction to bf16
+    (consistent ~1e-3 relative); fast=False is exact f32.
+
+    Differentiable in `features` (banded transpose + slot transpose);
+    `weights` receives zero cotangent (reference parity — the CUDA flex
+    kernels implement no position gradient, SURVEY.md §2.1 N2)."""
+    out, _ = _planned_fwd(features, nbh, weights, plan, tile, window, we,
+                          fast, interpret)
+    return out
+
+
+def _planned_fwd(features, nbh, weights, plan, tile, window, we, fast,
+                 interpret):
+    B, M, C = features.shape
+    N, K = nbh.shape[1], nbh.shape[2]
+    P = weights.shape[-1]
+    idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
+    w_pk = jnp.transpose(weights, (0, 3, 2, 1)).reshape(B, P * K, N)
+    inband = _banded_fwd_call(features, idx_t, w_pk.astype(jnp.float32),
+                              P, tile, window, fast, interpret)
+    w_e = _plan_gather_weights(weights.astype(jnp.float32), plan)
+    corr = slot_correction(features, w_e, plan, P, tile, we, N, fast,
+                           interpret)
+    return inband + corr, (features, nbh, weights, plan)
+
+
+def _planned_vjp_fwd(features, nbh, weights, plan, tile, window, we, fast,
+                     interpret):
+    return _planned_fwd(features, nbh, weights, plan, tile, window, we,
+                        fast, interpret)
+
+
+def _planned_vjp_bwd(tile, window, we, fast, interpret, res, dm):
+    features, nbh, weights, plan = res
+    B, M, C = features.shape
+    N, K = nbh.shape[1], nbh.shape[2]
+    P = weights.shape[-1]
+    idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
+    WB = window + 2 * tile
+    if WB > N:
+        WB = N
+    dm = dm.astype(jnp.float32)
+    if P == 1:
+        w_t = jnp.transpose(weights[..., 0], (0, 2, 1)).astype(jnp.float32)
+        inband = _bwd_from_w1(dm, idx_t, w_t, tile, window, WB, M, fast,
+                              interpret)
+    else:
+        inband = _banded_bwd_call(dm, idx_t, weights.astype(jnp.float32),
+                                  P, tile, window, WB, M, fast, interpret)
+    # correction transpose: dfeat[src_e] += sum_p w_e[p] * dM[qrow_e, p, :]
+    qsafe = jnp.clip(plan.qrow, 0, N - 1)
+    dmq = jnp.take_along_axis(dm, qsafe[..., None], axis=1)  # [B, cap, P*C]
+    w_e = _plan_gather_weights(weights.astype(jnp.float32), plan)
+    cap = w_e.shape[1]
+    dval = jnp.einsum("bep,bepc->bec", w_e, dmq.reshape(B, cap, P, C),
+                      preferred_element_type=jnp.float32)
+    dcorr = slot_transpose(dval, plan, tile, we, M, fast, interpret)
+    dfeat = (inband + dcorr).astype(features.dtype)
+    return dfeat, None, jnp.zeros_like(weights), None
+
+
+banded_weighted_sum_planned.defvjp(_planned_vjp_fwd, _planned_vjp_bwd)
+
+
+def _seg_head_max(qrow, vals, args, K):
+    """Segmented (by contiguous equal qrow runs, length <= K) max-scan that
+    leaves each run's (max, argmax-src, head?) at its FIRST slot.  Strict
+    `>` keeps the earliest entry on ties — ascending k within a row, like
+    the reference kernel (`flex_pool_kernel.cc:44-49`)."""
+    B, cap, C = vals.shape
+    d = 1
+    while d < K:
+        q_next = jnp.concatenate(
+            [qrow[:, d:], jnp.full((B, d), _SENT, qrow.dtype)], axis=1)
+        v_next = jnp.concatenate(
+            [vals[:, d:], jnp.full((B, d, C), _NEG, vals.dtype)], axis=1)
+        a_next = jnp.concatenate(
+            [args[:, d:], jnp.full((B, d, C), -1, args.dtype)], axis=1)
+        same = (q_next == qrow)[..., None]
+        take = same & (v_next > vals)
+        vals = jnp.where(take, v_next, vals)
+        args = jnp.where(take, a_next, args)
+        d *= 2
+    q_prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, qrow.dtype), qrow[:, :-1]], axis=1)
+    head = (qrow != q_prev) & (qrow != _SENT)
+    return vals, args, head
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def banded_max_planned(features, nbh, plan, tile=256, window=512, we=640,
+                       fast=True, interpret=False):
+    """Exact banded neighborhood max with the slot-compacted correction.
+
+    features [B, M, C], nbh [B, N, K] -> (out [B, N, C], argmax [B, N, C]
+    int32 global key ids).  Out-of-band candidates are max-reduced per row
+    in the compacted list (runs are contiguous and <= K long), the run
+    heads delivered by the slot kernel, and merged with the in-band result
+    (in-band wins exact float ties, matching the lowest-k reference rule
+    when the in-band candidate comes first)."""
+    (out, arg), _ = _max_planned_fwd(features, nbh, plan, tile, window,
+                                     we, fast, interpret)
+    return out, arg
+
+
+def _max_planned_fwd(features, nbh, plan, tile, window, we, fast,
+                     interpret):
+    B, M, C = features.shape
+    N, K = nbh.shape[1], nbh.shape[2]
+    idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
+    val, arg, slot = _banded_max_call(features, idx_t, tile, window, fast,
+                                      interpret)
+    fc = jnp.take_along_axis(
+        features.astype(jnp.float32), plan.src[..., None], axis=1)
+    fc = jnp.where(plan.valid[..., None], fc, _NEG)
+    if fast:
+        # consistent with the in-band window rounding
+        fc = fc.astype(jnp.bfloat16).astype(jnp.float32)
+        fc = jnp.where(plan.valid[..., None], fc, _NEG)
+    a0 = jnp.broadcast_to(plan.src[..., None], fc.shape).astype(jnp.int32)
+    vmax, amax, head = _seg_head_max(plan.qrow, fc, a0, K)
+    contrib = jnp.where(head[..., None],
+                        jnp.concatenate([vmax,
+                                         amax.astype(jnp.float32),
+                                         jnp.ones_like(vmax[..., :1])],
+                                        axis=-1),
+                        0.0)
+    # f32 delivery: argmax ids up to 2**23 stay exact; one term per row
+    deliv = _slot_deliver(contrib, plan.qrow, plan.win_start, tile, we,
+                          N, False, interpret)
+    corr_v = deliv[..., :C]
+    corr_a = deliv[..., C:2 * C].astype(jnp.int32)
+    has = deliv[..., 2 * C:2 * C + 1] > 0.5
+    better = has & (corr_v > val)
+    out = jnp.where(better, corr_v, val)
+    argout = jnp.where(better, corr_a, arg)
+    return (out, argout), (features, nbh, plan, slot, argout, better)
+
+
+def _max_planned_vjp_fwd(features, nbh, plan, tile, window, we, fast,
+                         interpret):
+    return _max_planned_fwd(features, nbh, plan, tile, window, we, fast,
+                            interpret)
+
+
+def _max_planned_vjp_bwd(tile, window, we, fast, interpret, res, ct):
+    features, nbh, plan, slot, argout, better = res
+    dval = ct[0].astype(jnp.float32)
+    B, M, C = features.shape
+    N, K = nbh.shape[1], nbh.shape[2]
+    idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
+    WB = window + 2 * tile
+    if WB > N:
+        WB = N
+    # in-band-won channels route through the fused slot-mask transpose
+    slot_ib = jnp.where(better | (slot < 0), -1, slot)
+    d_ib = _bwd_from_slot(jnp.where(better, 0.0, dval), slot_ib, idx_t,
+                          tile, window, WB, M, fast, interpret)
+    # correction-won channels: per entry e, take dval[qrow_e, c] where the
+    # winning argmax id equals this entry's source
+    qsafe = jnp.clip(plan.qrow, 0, N - 1)
+    dq = jnp.take_along_axis(dval, qsafe[..., None], axis=1)
+    aq = jnp.take_along_axis(argout, qsafe[..., None], axis=1)
+    bq = jnp.take_along_axis(better, qsafe[..., None], axis=1)
+    # duplicate neighbor ids in one row are ALL equal to the winning
+    # argmax; the dense grad routes the cotangent once (first argmax
+    # slot), so deliver only at the run's first occurrence of each src
+    # (runs are contiguous, ascending k, <= K long)
+    first = jnp.ones(plan.qrow.shape, bool)
+    for d in range(1, K):
+        q_prev = jnp.concatenate(
+            [jnp.full_like(plan.qrow[:, :d], -1), plan.qrow[:, :-d]],
+            axis=1)
+        s_prev = jnp.concatenate(
+            [jnp.full_like(plan.src[:, :d], -1), plan.src[:, :-d]],
+            axis=1)
+        first &= ~((q_prev == plan.qrow) & (s_prev == plan.src))
+    dcontrib = jnp.where(
+        bq & (aq == plan.src[..., None]) & first[..., None]
+        & plan.valid[..., None], dq, 0.0)
+    d_oob = slot_transpose(dcontrib, plan, tile, we, M, fast, interpret)
+    return (d_ib + d_oob).astype(features.dtype), None, None
+
+
+banded_max_planned.defvjp(_max_planned_vjp_fwd, _max_planned_vjp_bwd)
 
 
 # ------------------------------ Morton order ------------------------------

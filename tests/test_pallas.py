@@ -445,3 +445,106 @@ def test_banded_weighted_sum_grad_p1_fused(rng):
     g_di = jax.jit(jax.grad(f_dense))(*args_in)
     np.testing.assert_allclose(np.asarray(g_bi), np.asarray(g_di),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_planned_weighted_sum_exact_and_grads(rng):
+    """banded_weighted_sum_planned (slot-compacted correction, no cond,
+    no scatter) == dense oracle, forward and feature-VJP, for arbitrary
+    index distributions.  All operands are jit ARGUMENTS — embedded
+    jit-constant data operands are misread on this backend even by plain
+    XLA gathers (banded_pallas pitfall note)."""
+    from dh3d_tpu.ops.pallas.banded_pallas import (
+        banded_weighted_sum_planned, oob_plan)
+
+    B, N, K, C, P, T, W = 2, 512, 8, 32, 4, 128, 256
+    feat = rng.randn(B, N, C).astype(np.float32)
+    off = (rng.randn(B, N, K) * 40).astype(np.int64)
+    nbh = np.clip(np.arange(N)[None, :, None] + off, 0, N - 1)
+    far = rng.rand(B, N, K) < 0.15
+    nbh = np.where(far, rng.randint(0, N, nbh.shape), nbh).astype(np.int32)
+    w = rng.randn(B, N, K, P).astype(np.float32)
+    dm = rng.randn(B, N, P * C).astype(np.float32)
+
+    plan = jax.jit(lambda n: oob_plan(n, N, T, W, cap=1024, we=512))(
+        jnp.asarray(nbh))
+    assert int(np.asarray(plan.overflow).max()) == 0
+
+    args = (jnp.asarray(feat), jnp.asarray(nbh), jnp.asarray(w), plan,
+            jnp.asarray(dm))
+
+    def f_planned(x, i, ww, pl_, d):
+        return jnp.vdot(banded_weighted_sum_planned(
+            x, i, ww, pl_, T, W, 512, False, INTERP), d)
+
+    def f_dense(x, i, ww, pl_, d):
+        f_k = jax.vmap(lambda v, ix: v[ix])(x, i)
+        out = jnp.einsum("bnkp,bnkc->bnpc", ww, f_k,
+                         precision="highest").reshape(B, N, P * C)
+        return jnp.vdot(out, d)
+
+    out = np.asarray(jax.jit(lambda x, i, ww, pl_, d:
+                             banded_weighted_sum_planned(
+                                 x, i, ww, pl_, T, W, 512, False, INTERP)
+                             )(*args))
+    ref = _bws_oracle(feat, nbh, w)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    g_p = jax.jit(jax.grad(f_planned))(*args)
+    g_d = jax.jit(jax.grad(f_dense))(*args)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_d),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_planned_max_exact_and_grad(rng):
+    """banded_max_planned == dense max/argmax oracle (incl. the reference
+    lowest-k tie rule) and its VJP routes cotangents to the winners."""
+    from dh3d_tpu.ops.pallas.banded_pallas import (
+        banded_max_planned, oob_plan)
+
+    B, N, K, C, T, W = 2, 512, 8, 32, 128, 256
+    feat = rng.randn(B, N, C).astype(np.float32)
+    off = (rng.randn(B, N, K) * 40).astype(np.int64)
+    nbh = np.clip(np.arange(N)[None, :, None] + off, 0, N - 1)
+    far = rng.rand(B, N, K) < 0.15
+    nbh = np.where(far, rng.randint(0, N, nbh.shape), nbh).astype(np.int32)
+    nbh = jnp.asarray(nbh)
+    plan = jax.jit(lambda n: oob_plan(n, N, T, W, cap=1024, we=512))(nbh)
+    assert int(np.asarray(plan.overflow).max()) == 0
+
+    def dense(x, i):
+        f_k = jax.vmap(lambda v, ix: v[ix])(x, i)
+        v = jnp.max(f_k, axis=2)
+        s = jnp.argmax(f_k, axis=2)
+        a = jnp.take_along_axis(
+            i[..., None].astype(jnp.int32),
+            s[:, :, None, :].astype(jnp.int32), axis=2)[:, :, 0, :]
+        return v, a
+
+    args = (jnp.asarray(feat), nbh, plan)
+    ov, oa = jax.jit(lambda x, i, pl_: banded_max_planned(
+        x, i, pl_, T, W, 512, False, INTERP))(*args)
+    rv, ra = jax.jit(dense)(jnp.asarray(feat), nbh)
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ra))
+
+    dm = rng.randn(B, N, C).astype(np.float32)
+    g_p = jax.jit(jax.grad(lambda x, i, pl_, d: jnp.vdot(
+        banded_max_planned(x, i, pl_, T, W, 512, False, INTERP)[0], d)))(
+            *args, jnp.asarray(dm))
+    g_d = jax.jit(jax.grad(lambda x, i, d: jnp.vdot(dense(x, i)[0], d)))(
+        jnp.asarray(feat), nbh, jnp.asarray(dm))
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_d),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_oob_plan_overflow_counts(rng):
+    """Entries beyond the static capacity are counted, not silently
+    dropped."""
+    from dh3d_tpu.ops.pallas.banded_pallas import oob_plan
+
+    B, N, K = 1, 512, 8
+    # all-random indices: almost everything is out of band for W=128
+    nbh = rng.randint(0, N, (B, N, K)).astype(np.int32)
+    plan = jax.jit(lambda n: oob_plan(n, N, 128, 128, cap=256, we=128))(
+        jnp.asarray(nbh))
+    assert int(np.asarray(plan.overflow)[0]) > 0
