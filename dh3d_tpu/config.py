@@ -87,9 +87,9 @@ def basic_config():
         # sorted by the loader; skip the in-graph sort (training only)
         morton_presorted=False,
         grad_clip_norm=None,      # optional global-norm gradient clip
-        # single-bf16-plane moments backward (see banded_pallas
-        # MOMENTS_BWD_LO): ~3e-3 relative gradient rounding for half the
-        # flex-conv backward-kernel work
+        # single-bf16-plane moments backward (threaded statically through
+        # the model into the kernel's bwd_lo argument): ~3e-3 relative
+        # gradient rounding for half the flex-conv backward-kernel work
         fast_grads=False,
     )
 

@@ -40,6 +40,7 @@ class FlexConvDilate(nn.Module):
     dtype: Optional[object] = None
     method: str = "gather"
     inband_knn: bool = False  # caller-provided knn is Morton-banded
+    fast_grads: bool = False
 
     @nn.compact
     def __call__(self, xyz, feat, knn_indices=None):
@@ -75,7 +76,8 @@ class FlexConvDilate(nn.Module):
             x = FlexConvBN(
                 d, self.use_running_average, self.bn_axis_name,
                 dtype=self.dtype, method=self.method,
-                assume_inband=inband, name=f"flexconv_{i}",
+                assume_inband=inband, fast_grads=self.fast_grads,
+                name=f"flexconv_{i}",
             )(x, points_s, knn_indices)
 
         if self.add_se == "max_pool":
@@ -126,6 +128,7 @@ class BackboneLocalDilate(nn.Module):
     dtype: Optional[object] = None
     method: str = "gather"
     inband_knn: bool = False  # knn_ind came from the Morton-banded knn
+    fast_grads: bool = False
 
     @nn.compact
     def __call__(self, points, knn_ind):
@@ -148,7 +151,7 @@ class BackboneLocalDilate(nn.Module):
             dilate=1, knn=8, outdims=(64, 64), concat=False,
             add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
             dtype=dt, method=self.method, inband_knn=self.inband_knn,
-            name="stage1",
+            fast_grads=self.fast_grads, name="stage1",
         )(points, init_f, knn_indices=nn_8)
 
         # stage 2: dilate 8, dims [128, 128], concat + 1x1
@@ -157,7 +160,8 @@ class BackboneLocalDilate(nn.Module):
         _, x2 = FlexConvDilate(
             dilate=self.dilate2, knn=8, outdims=(128, 128), concat=True,
             add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
-            dtype=dt, method=self.method, name="stage2",
+            dtype=dt, method=self.method, fast_grads=self.fast_grads,
+            name="stage2",
         )(points, x2)
 
         # combine with stage-1 shortcut (`core/backbones.py:123`)
@@ -228,6 +232,7 @@ class GlobalBeforeAssemble(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Optional[object] = None
     method: str = "gather"
+    fast_grads: bool = False
 
     @nn.compact
     def __call__(self, points, localdesc):
@@ -238,7 +243,8 @@ class GlobalBeforeAssemble(nn.Module):
             concat=False, add_se="", upsample=True,
             use_running_average=self.use_running_average,
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-            method=self.method, name="global_before_assemble",
+            method=self.method, fast_grads=self.fast_grads,
+            name="global_before_assemble",
         )(points, localdesc)
 
 

@@ -67,6 +67,7 @@ class FlexConv(nn.Module):
     dtype: Optional[object] = None
     method: str = "gather"
     assume_inband: bool = False
+    fast_grads: bool = False  # single-plane bf16 moments backward
 
     @nn.compact
     def __call__(self, feat, pos, nbh):
@@ -87,7 +88,8 @@ class FlexConv(nn.Module):
             pos_bias = pos_bias.astype(self.dtype)
         y = ops.flex_conv(feat, pos, nbh, theta, pos_bias,
                           method=self.method,
-                          assume_inband=self.assume_inband)
+                          assume_inband=self.assume_inband,
+                          bwd_lo=not self.fast_grads)
         if self.use_feature_bias:
             y = y + self.param(
                 "feature_bias", nn.initializers.zeros, (self.features,)
@@ -106,11 +108,13 @@ class FlexConvBN(nn.Module):
     dtype: Optional[object] = None
     method: str = "gather"
     assume_inband: bool = False
+    fast_grads: bool = False
 
     @nn.compact
     def __call__(self, feat, pos, nbh):
         x = FlexConv(self.features, dtype=self.dtype, method=self.method,
                      assume_inband=self.assume_inband,
+                     fast_grads=self.fast_grads,
                      name="flexconv")(feat, pos, nbh)
         x = BatchNorm(
             self.use_running_average, axis_name=self.bn_axis_name, name="norm"

@@ -128,6 +128,7 @@ class DH3D(nn.Module):
             dtype=dt,
             method=method,
             inband_knn=inband_knn,
+            fast_grads=bool(cfg.fast_grads),
             name="local_backbone",
         )(points, knn_inds)
         localdesc = localdesc.astype(jnp.float32)
@@ -181,6 +182,7 @@ class DH3D(nn.Module):
                     bn_axis_name=axn,
                     dtype=dt,
                     method=method,
+                    fast_grads=bool(cfg.fast_grads),
                     name="global_backbone",
                 )(newpoints, localdesc)
             else:

@@ -92,7 +92,7 @@ def _banded_ok(features, neighborhood, tile):
 
 
 def _flex_moments_banded(features, positions, neighborhood, tile, window,
-                         fast, assume_inband=False):
+                         fast, assume_inband=False, bwd_lo=True):
     """Moment reduction via the banded kernels (ops/pallas/banded_pallas.py).
 
     Production path (assume_inband, fast, self-set, Dp=3): the specialized
@@ -116,7 +116,7 @@ def _flex_moments_banded(features, positions, neighborhood, tile, window,
         # padded features are zeros)
         return flex_moments_banded_fast(features, positions, pos0,
                                         neighborhood, tile, window,
-                                        False, True)
+                                        False, True, bwd_lo)
     from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
 
     p_k = gather_neighbors(positions, neighborhood)  # [B,N,K,Dp] small
@@ -155,7 +155,7 @@ def _flex_moments(features, positions, neighborhood):
 
 def flex_conv(features, positions, neighborhood, theta, bias,
               method="gather", tile=256, window=512, fast=True,
-              assume_inband=False):
+              assume_inband=False, bwd_lo=True):
     """Flex convolution: linear-in-position dynamic filter over neighborhoods.
 
     Args:
@@ -169,6 +169,8 @@ def flex_conv(features, positions, neighborhood, theta, bias,
         to be Morton-ordered for speed; exact for any order via the
         out-of-band correction, `fast` rounds features to bf16).
       tile/window/fast: banded-kernel parameters.
+      bwd_lo: moments-backward cotangent precision (False = single-plane
+        bf16, cfg.fast_grads; threaded statically per call).
 
     Returns:
       [B, N, Dout].
@@ -176,7 +178,7 @@ def flex_conv(features, positions, neighborhood, theta, bias,
     Dp, Din, Dout = theta.shape
     if method == "banded" and _banded_ok(features, neighborhood, tile):
         m = _flex_moments_banded(features, positions, neighborhood, tile,
-                                 window, fast, assume_inband)
+                                 window, fast, assume_inband, bwd_lo)
         m = m.astype(features.dtype)
     else:
         m = _flex_moments(features, positions, neighborhood)

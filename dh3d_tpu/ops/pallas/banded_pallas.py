@@ -629,17 +629,10 @@ def _moments_bwd_call(dm, pos_t, pos0_t, idx_t, T, W, WB, interpret,
     return out[..., :C0]
 
 
-# moments-backward cotangent precision: True = hi/lo bf16x2 planes
-# (~1e-4 relative, r2 default), False = single bf16 plane (~3e-3 relative,
-# half the backward kernel work).  Module-level because it selects a
-# static kernel variant; flipped by cfg.fast_grads via nn/model.py.
-MOMENTS_BWD_LO = True
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def flex_moments_banded_fast(features, positions, pos0, nbh,
                              tile=256, window=512, interpret=False,
-                             keep_pad=False):
+                             keep_pad=False, bwd_lo=True):
     """Flex-conv neighborhood moments on the specialized banded kernel.
 
     features [B, N, C]; positions [B, N, 3] (same set: N == M); pos0
@@ -655,6 +648,12 @@ def flex_moments_banded_fast(features, positions, pos0, nbh,
     pad + slice + two [B, N, 4*Cpad] layout copies per conv from the hot
     path (measured ~6 ms/step at [20, 8192] x2 convs).
 
+    `bwd_lo` selects the moments-backward cotangent precision: True =
+    hi/lo bf16x2 planes (~1e-4 relative), False = single bf16 plane
+    (~3e-3 relative, half the backward kernel work; cfg.fast_grads).  A
+    static per-call kernel argument — two models traced in one process
+    can use different settings without cross-contamination.
+
     Differentiable in `features`; positions/pos0/nbh get zero cotangent
     (reference parity: the CUDA flex kernels have no position gradient).
     """
@@ -666,15 +665,15 @@ def flex_moments_banded_fast(features, positions, pos0, nbh,
 
 
 def _moments_vjp_fwd(features, positions, pos0, nbh, tile, window,
-                     interpret, keep_pad):
+                     interpret, keep_pad, bwd_lo):
     out = flex_moments_banded_fast(features, positions, pos0, nbh, tile,
-                                   window, interpret, keep_pad)
+                                   window, interpret, keep_pad, bwd_lo)
     # `features` rides along only for its (static) shape/dtype — residual
     # leaves must be JAX types
     return out, (features, positions, pos0, nbh)
 
 
-def _moments_vjp_bwd(tile, window, interpret, keep_pad, res, dm):
+def _moments_vjp_bwd(tile, window, interpret, keep_pad, bwd_lo, res, dm):
     features, positions, pos0, nbh = res
     fdtype = features.dtype
     N = nbh.shape[1]
@@ -686,7 +685,7 @@ def _moments_vjp_bwd(tile, window, interpret, keep_pad, res, dm):
         WB = N
     dfeat = _moments_bwd_call(dm.astype(jnp.float32), pos_t, pos0_t,
                               idx_t, tile, window, WB, interpret,
-                              lo=MOMENTS_BWD_LO)
+                              lo=bwd_lo)
     C0 = features.shape[-1]
     if dfeat.shape[-1] != C0:  # keep_pad: dm was lane-padded
         dfeat = dfeat[..., :C0]

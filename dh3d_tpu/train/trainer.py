@@ -223,14 +223,10 @@ def make_train_step(cfg, model=None, donate=False):
     """
     model = model or DH3D(cfg)
     cfg = dotdict(dict(cfg))
-
-    if cfg.fast_grads:
-        # single-bf16-plane moments backward (~3e-3 relative grad
-        # rounding, half the kernel work) — a process-level static kernel
-        # selection, set before the step traces
-        from dh3d_tpu.ops.pallas import banded_pallas
-
-        banded_pallas.MOMENTS_BWD_LO = False
+    # cfg.fast_grads (single-bf16-plane moments backward) is threaded
+    # through the model as a static kernel argument (nn/model.py ->
+    # ops.flex_conv(bwd_lo=...)) — no process-level state; two models in
+    # one process can trace different settings.
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
