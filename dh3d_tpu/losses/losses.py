@@ -90,8 +90,7 @@ def desc_local_loss(outs, pos_r=0.5, search_r=20.0, margin=0.8,
 
 
 def local_detection_loss_nn(outs, ar_th=0.3, det_k=16, ar_nn_k=5, pos_r=0.3,
-                            use_hardest_neg=True, knn_window=None,
-                            **unused):
+                            use_hardest_neg=True, **unused):
     """Unsupervised keypoint detector loss (`core/losses.py:65-133`).
 
     For each anchor keypoint: take the det_k-neighborhood of its
@@ -100,6 +99,13 @@ def local_detection_loss_nn(outs, ar_th=0.3, det_k=16, ar_nn_k=5, pos_r=0.3,
     distance, and measure the normalized rank (AR) of the first true match
     within pos_r.  Loss drives the per-keypoint score toward predicting AR:
     1 - (AR*s + ar_th*(1-s)).
+
+    The reference computes knn for ALL N pos-cloud points
+    (`core/losses.py:74`) but only ever reads the rows at the M sampled
+    keypoints and their M hardest negatives; here those <= 2M rows are
+    queried directly (exact pairwise kNN of the keypoints against the
+    full cloud) — same candidate sets, ~N/(2M) less kNN work, and exact
+    under every model mode including Morton.
 
     Note the reference quirk kept here: candidate features come from the
     UN-normalized dense map `feat`, while the query keypoint descriptor
@@ -116,17 +122,13 @@ def local_detection_loss_nn(outs, ar_th=0.3, det_k=16, ar_nn_k=5, pos_r=0.3,
     feat_s0, feat_s1 = jnp.split(outs["feat_sampled"], 2, axis=0)
     rot = outs["R"]
 
-    # knn_window: Morton-banded approximate knn (set by the dispatcher
-    # when cfg.morton_order — the train-mode clouds are already sorted)
-    knn1, _ = ops.knn_bruteforce(xyz1, det_k, mode="fast",
-                                 window=knn_window)  # [B,N,det_k]
-
     xyz0_warp = jnp.einsum("bmd,bde->bme", xyz_s0, rot, precision="highest")
 
     # neighborhoods of the positive correspondents (`core/losses.py:81-84`)
-    knn_sampled1 = jnp.take_along_axis(
-        knn1, sample_ind1[..., None], axis=1
-    )  # [B,M,det_k]
+    # — exact kNN rows queried at the keypoints only (xyz_s1 IS xyz1
+    # gathered at sample_ind1)
+    knn_sampled1, _ = ops.knn_bruteforce_pairwise(
+        xyz_s1, xyz1, det_k)  # [B,M,det_k]
 
     if use_hardest_neg:
         # hardest negative among pos-cloud keypoints (`core/losses.py:87-99`)
@@ -145,7 +147,8 @@ def local_detection_loss_nn(outs, ar_th=0.3, det_k=16, ar_nn_k=5, pos_r=0.3,
         hardest_kp = jnp.take_along_axis(
             sample_ind1, hardest, axis=1
         )  # keypoint id -> cloud point id
-        knn_neg1 = jnp.take_along_axis(knn1, hardest_kp[..., None], axis=1)
+        xyz_neg1 = jnp.take_along_axis(xyz1, hardest_kp[..., None], axis=1)
+        knn_neg1, _ = ops.knn_bruteforce_pairwise(xyz_neg1, xyz1, det_k)
         knn_sampled1 = jnp.concatenate([knn_sampled1, knn_neg1], axis=-1)
 
     # gather candidate xyz/features (`core/losses.py:103-106`)
@@ -367,7 +370,6 @@ def compute_total_loss(outs, cfg, params_l2=0.0):
         dl, aux = DETECTION_LOSSES[cfg.detection_loss](
             outs, ar_th=cfg.ar_th, det_k=cfg.det_k, ar_nn_k=cfg.ar_nn_k,
             pos_r=cfg.pos_r,
-            knn_window=512 if cfg.morton_order else None,
         )
         dl = dl * _default(cfg.det_loss_weight, 1.0)
         metrics["det_loss_weighted"] = dl
