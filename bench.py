@@ -82,9 +82,9 @@ def bench_forward(jax, jnp, B=20, N=8192, iters=30, morton=False):
     model = DH3D(cfg)
 
     points = jnp.asarray(_bench_clouds(B, N))
-    variables = jax.jit(lambda k, p: model.init(k, p, train=False))(
-        jax.random.PRNGKey(0), points
-    )
+    from dh3d_tpu.nn import init_variables
+
+    variables = init_variables(cfg, jax.random.PRNGKey(0))
 
     @jax.jit
     def fwd_scalar(salt):

@@ -79,10 +79,18 @@ def basic_config():
         device_pairgen=False,
         rot_maxv=3.141592653589793,
         prefetch=2,               # host batch prefetch depth (0 = off)
-        # Morton-order locality mode: sort clouds along the Z-order curve
-        # and use the banded one-hot-matmul kernels instead of XLA gathers
-        # (TPU fast path; exact via out-of-band correction)
-        morton_order=False,
+        # Morton-order locality mode (DEFAULT): sort clouds along the
+        # Z-order curve and use the banded one-hot-matmul kernels instead
+        # of XLA gathers (TPU fast path).  Falls back to the gather path
+        # automatically when N is not 256-divisible or on non-TPU
+        # backends.
+        morton_order=True,
+        # Exact neighbor semantics under morton_order (DEFAULT): true kNN
+        # everywhere + slot-compacted delivery of out-of-band neighbor
+        # contributions — same candidate sets as the gather/parity path.
+        # False = legacy approximate mode (banded kNN, in-band candidates
+        # only; ~4-9% of neighbors replaced; see docs/ERROR_BUDGET.md).
+        morton_exact=True,
         # input clouds (and any sample/knn indices) are already Z-order
         # sorted by the loader; skip the in-graph sort (training only)
         morton_presorted=False,

@@ -21,6 +21,12 @@ from dh3d_tpu.data.io import write_to_bin
 from dh3d_tpu.eval.nms import nms_keypoint_indices
 
 
+# One jitted apply per live model instance: repeated extract_* calls over
+# the same model (ref set then query set, or a CLI looping over datasets)
+# reuse the traced executable instead of re-jitting an identical program.
+_APPLY_CACHE: dict = {}
+
+
 def make_forward(cfg, variables, model=None):
     """Jitted inference forward: points [B, N, 3] -> outs dict."""
     import jax
@@ -37,9 +43,20 @@ def make_forward(cfg, variables, model=None):
 
     model = model or DH3D(cfg)
 
-    @jax.jit
+    # `variables` rides as a jit ARGUMENT, not a closure constant — no
+    # multi-MB weight constants embedded in the executable.
+    key = id(model)
+    if key not in _APPLY_CACHE or _APPLY_CACHE[key][0] is not model:
+        @jax.jit
+        def _fwd(variables, points, knn_inds=None):
+            return model.apply(variables, points, knn_inds=knn_inds,
+                               train=False)
+
+        _APPLY_CACHE[key] = (model, _fwd)  # model ref keeps id() stable
+    _fwd = _APPLY_CACHE[key][1]
+
     def fwd(points, knn_inds=None):
-        return model.apply(variables, points, knn_inds=knn_inds, train=False)
+        return _fwd(variables, points, knn_inds)
 
     return fwd
 

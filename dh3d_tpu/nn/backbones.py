@@ -10,6 +10,7 @@ import math
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dh3d_tpu import ops
@@ -40,10 +41,11 @@ class FlexConvDilate(nn.Module):
     dtype: Optional[object] = None
     method: str = "gather"
     inband_knn: bool = False  # caller-provided knn is Morton-banded
+    exact_plan: bool = False  # exact kNN + slot-compacted oob correction
     fast_grads: bool = False
 
     @nn.compact
-    def __call__(self, xyz, feat, knn_indices=None):
+    def __call__(self, xyz, feat, knn_indices=None, knn_plan=None):
         num_point = xyz.shape[1]
         npoint = num_point // self.dilate
         banded = self.method == "banded"
@@ -66,10 +68,26 @@ class FlexConvDilate(nn.Module):
             points_s, feat_s = xyz, feat
 
         if knn_indices is None:
-            knn_indices, _ = ops.knn_bruteforce(
-                points_s, self.knn, mode="fast",
-                window=512 if use_banded else None)
-            inband = use_banded
+            if use_banded and self.exact_plan:
+                # exact kNN (no window restriction) + one shared
+                # out-of-band plan for every banded op on this level —
+                # exact neighbor routing, the shipping Morton default.
+                # The plan itself is TPU-only (the banded kernels fall
+                # back to exact XLA gathers elsewhere, making it dead
+                # weight on other backends).
+                knn_indices, _ = ops.knn_bruteforce(points_s, self.knn,
+                                                    mode="fast")
+                if jax.default_backend() == "tpu":
+                    from dh3d_tpu.ops.pallas.banded_pallas import oob_plan
+
+                    knn_plan = oob_plan(knn_indices, npoint, 256, 512)
+                inband = False
+            else:
+                knn_indices, _ = ops.knn_bruteforce(
+                    points_s, self.knn, mode="fast",
+                    window=512 if use_banded else None)
+                inband = use_banded
+                knn_plan = None
 
         x = feat_s
         for i, d in enumerate(self.outdims):
@@ -78,11 +96,11 @@ class FlexConvDilate(nn.Module):
                 dtype=self.dtype, method=self.method,
                 assume_inband=inband, fast_grads=self.fast_grads,
                 name=f"flexconv_{i}",
-            )(x, points_s, knn_indices)
+            )(x, points_s, knn_indices, plan=knn_plan)
 
         if self.add_se == "max_pool":
             x_pool, _ = ops.flex_pool(x, knn_indices, method=self.method,
-                                      assume_inband=inband)
+                                      assume_inband=inband, plan=knn_plan)
             x = SEResBottleneck(
                 self.outdims[-1], self.use_running_average,
                 self.bn_axis_name, name="se",
@@ -91,7 +109,8 @@ class FlexConvDilate(nn.Module):
             # flex_avg neighborhood sum scaled by 1/knn
             # (`core/backbones.py:81-83`)
             x_pool = ops.flex_avg(x, knn_indices, method=self.method,
-                                  assume_inband=inband) * (1.0 / self.knn)
+                                  assume_inband=inband,
+                                  plan=knn_plan) * (1.0 / self.knn)
             x = SEResBottleneck(
                 self.outdims[-1], self.use_running_average,
                 self.bn_axis_name, name="se",
@@ -99,13 +118,25 @@ class FlexConvDilate(nn.Module):
 
         new_feat = x
         if self.upsample and self.dilate > 1:
-            dist, idx = ops.three_nn(
-                xyz, points_s,
-                window=256 if use_banded else None)
-            weight = ops.inverse_distance_weights(dist)
-            new_feat = ops.three_interpolate(
-                new_feat, idx, weight, method=self.method,
-                window=256, assume_inband=use_banded)
+            if use_banded and self.exact_plan:
+                dist, idx = ops.three_nn(xyz, points_s)
+                interp_plan = None
+                if jax.default_backend() == "tpu":
+                    from dh3d_tpu.ops.pallas.banded_pallas import oob_plan
+
+                    interp_plan = oob_plan(idx, npoint, 256, 256)
+                weight = ops.inverse_distance_weights(dist)
+                new_feat = ops.three_interpolate(
+                    new_feat, idx, weight, method=self.method,
+                    window=256, plan=interp_plan)
+            else:
+                dist, idx = ops.three_nn(
+                    xyz, points_s,
+                    window=256 if use_banded else None)
+                weight = ops.inverse_distance_weights(dist)
+                new_feat = ops.three_interpolate(
+                    new_feat, idx, weight, method=self.method,
+                    window=256, assume_inband=use_banded)
 
         if self.concat:
             new_feat = jnp.concatenate([new_feat, feat], axis=-1)
@@ -128,10 +159,11 @@ class BackboneLocalDilate(nn.Module):
     dtype: Optional[object] = None
     method: str = "gather"
     inband_knn: bool = False  # knn_ind came from the Morton-banded knn
+    exact_plan: bool = False  # exact kNN + slot-compacted oob correction
     fast_grads: bool = False
 
     @nn.compact
-    def __call__(self, points, knn_ind):
+    def __call__(self, points, knn_ind, knn_plan=None):
         ura, axn = self.use_running_average, self.bn_axis_name
         dt = self.dtype
         nn_8 = knn_ind[..., :8]
@@ -142,17 +174,20 @@ class BackboneLocalDilate(nn.Module):
         # measured 11.1 ms gather vs ~3 ms banded at [20, 8192]
         init_f = ConvPointsetBN(32, ura, axn, method=self.method,
                                 assume_inband=self.inband_knn,
-                                name="initconv")(points, nn_8)
+                                name="initconv")(points, nn_8,
+                                                 plan=knn_plan)
         init_f, _ = ops.flex_pool(init_f, nn_8, method=self.method,
-                                  assume_inband=self.inband_knn)
+                                  assume_inband=self.inband_knn,
+                                  plan=knn_plan)
 
         # stage 1: full resolution, knn8, dims [64, 64], SE max-pool
         _, x1 = FlexConvDilate(
             dilate=1, knn=8, outdims=(64, 64), concat=False,
             add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
             dtype=dt, method=self.method, inband_knn=self.inband_knn,
-            fast_grads=self.fast_grads, name="stage1",
-        )(points, init_f, knn_indices=nn_8)
+            exact_plan=self.exact_plan, fast_grads=self.fast_grads,
+            name="stage1",
+        )(points, init_f, knn_indices=nn_8, knn_plan=knn_plan)
 
         # stage 2: dilate 8, dims [128, 128], concat + 1x1
         x2 = Conv1x1(64, use_running_average=ura, bn_axis_name=axn,
@@ -160,8 +195,8 @@ class BackboneLocalDilate(nn.Module):
         _, x2 = FlexConvDilate(
             dilate=self.dilate2, knn=8, outdims=(128, 128), concat=True,
             add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
-            dtype=dt, method=self.method, fast_grads=self.fast_grads,
-            name="stage2",
+            dtype=dt, method=self.method, exact_plan=self.exact_plan,
+            fast_grads=self.fast_grads, name="stage2",
         )(points, x2)
 
         # combine with stage-1 shortcut (`core/backbones.py:123`)
@@ -232,6 +267,7 @@ class GlobalBeforeAssemble(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Optional[object] = None
     method: str = "gather"
+    exact_plan: bool = False
     fast_grads: bool = False
 
     @nn.compact
@@ -243,7 +279,8 @@ class GlobalBeforeAssemble(nn.Module):
             concat=False, add_se="", upsample=True,
             use_running_average=self.use_running_average,
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-            method=self.method, fast_grads=self.fast_grads,
+            method=self.method, exact_plan=self.exact_plan,
+            fast_grads=self.fast_grads,
             name="global_before_assemble",
         )(points, localdesc)
 

@@ -70,7 +70,7 @@ class FlexConv(nn.Module):
     fast_grads: bool = False  # single-plane bf16 moments backward
 
     @nn.compact
-    def __call__(self, feat, pos, nbh):
+    def __call__(self, feat, pos, nbh, plan=None):
         din, dp = feat.shape[-1], pos.shape[-1]
         theta = self.param(
             "position_theta",
@@ -89,7 +89,7 @@ class FlexConv(nn.Module):
         y = ops.flex_conv(feat, pos, nbh, theta, pos_bias,
                           method=self.method,
                           assume_inband=self.assume_inband,
-                          bwd_lo=not self.fast_grads)
+                          bwd_lo=not self.fast_grads, plan=plan)
         if self.use_feature_bias:
             y = y + self.param(
                 "feature_bias", nn.initializers.zeros, (self.features,)
@@ -111,11 +111,11 @@ class FlexConvBN(nn.Module):
     fast_grads: bool = False
 
     @nn.compact
-    def __call__(self, feat, pos, nbh):
+    def __call__(self, feat, pos, nbh, plan=None):
         x = FlexConv(self.features, dtype=self.dtype, method=self.method,
                      assume_inband=self.assume_inband,
                      fast_grads=self.fast_grads,
-                     name="flexconv")(feat, pos, nbh)
+                     name="flexconv")(feat, pos, nbh, plan=plan)
         x = BatchNorm(
             self.use_running_average, axis_name=self.bn_axis_name, name="norm"
         )(x)
@@ -131,7 +131,7 @@ class ConvPointset(nn.Module):
     assume_inband: bool = False
 
     @nn.compact
-    def __call__(self, feat, nbh):
+    def __call__(self, feat, nbh, plan=None):
         din = feat.shape[-1]
         theta = self.param(
             "theta", nn.initializers.glorot_uniform(), (din, self.features)
@@ -139,7 +139,8 @@ class ConvPointset(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return ops.conv_pointset(feat, nbh, theta, bias,
                                  method=self.method,
-                                 assume_inband=self.assume_inband)
+                                 assume_inband=self.assume_inband,
+                                 plan=plan)
 
 
 class ConvPointsetBN(nn.Module):
@@ -153,10 +154,10 @@ class ConvPointsetBN(nn.Module):
     assume_inband: bool = False
 
     @nn.compact
-    def __call__(self, feat, nbh):
+    def __call__(self, feat, nbh, plan=None):
         x = ConvPointset(self.features, method=self.method,
                          assume_inband=self.assume_inband,
-                         name="conv")(feat, nbh)
+                         name="conv")(feat, nbh, plan=plan)
         x = BatchNorm(
             self.use_running_average, axis_name=self.bn_axis_name, name="norm"
         )(x)

@@ -69,7 +69,16 @@ class DH3D(nn.Module):
         # dense per-point outputs are un-permuted on exit in eval mode
         # (training losses are permutation-equivariant, so the sorted
         # order is kept there — no unpermute gathers in the train step).
+        #
+        # Default semantics are EXACT: true kNN neighborhoods everywhere,
+        # with out-of-band neighbor contributions delivered by the
+        # slot-compacted correction (`oob_plan` + planned banded ops) —
+        # same candidate sets as the gather/parity path.  Setting
+        # cfg.morton_exact=False selects the legacy approximate mode
+        # (banded kNN, in-band candidates only; see docs/ERROR_BUDGET.md
+        # for its measured effect on trained checkpoints).
         method = "banded" if cfg.morton_order else "gather"
+        morton_exact = cfg.morton_exact is not False
         inv_perm = None
         if cfg.morton_order and cfg.morton_presorted:
             # clouds arrive already Z-order sorted (the training loader
@@ -94,15 +103,24 @@ class DH3D(nn.Module):
                                            axis=1)
                 knn_inds = jax.vmap(lambda iv, r: iv[r])(inv_perm, rows)
 
+        banded_l0 = (cfg.morton_order and points.shape[1] % 256 == 0
+                     and points.shape[1] >= 1024)
         inband_knn = False
         if knn_inds is None:
             window = None
-            if cfg.morton_order and points.shape[1] % 256 == 0 \
-                    and points.shape[1] >= 1024:
+            if banded_l0 and not morton_exact:
                 window = 512
                 inband_knn = True
             knn_inds, _ = ops.knn_bruteforce(points, cfg.knn_num,
                                              mode="fast", window=window)
+        knn_plan = None
+        if banded_l0 and morton_exact and jax.default_backend() == "tpu":
+            # one shared out-of-band plan for every banded op on the
+            # full-resolution knn8 level (initconv, flex_pool, stage1)
+            from dh3d_tpu.ops.pallas.banded_pallas import oob_plan
+
+            knn_plan = oob_plan(knn_inds[..., :8], points.shape[1],
+                                256, 512)
 
         def unpermute(x):
             """Sorted space -> original point order (eval only)."""
@@ -112,6 +130,11 @@ class DH3D(nn.Module):
                 x, inv_perm[..., None].astype(jnp.int32), axis=1)
 
         outs = {"xyz": unpermute(points), "knn_indices": knn_inds}
+        if knn_plan is not None:
+            # monitored exactness invariant: entries dropped by the plan's
+            # static capacity (zero on real Morton-sorted clouds); the
+            # trainer/eval drivers assert this stays 0
+            outs["oob_overflow"] = knn_plan.overflow
 
         # ---- local backbone (`core/model.py:99-108,176`)
         # points stay f32: all geometry (knn/FPS/three_nn/deltas) needs full
@@ -128,9 +151,10 @@ class DH3D(nn.Module):
             dtype=dt,
             method=method,
             inband_knn=inband_knn,
+            exact_plan=morton_exact,
             fast_grads=bool(cfg.fast_grads),
             name="local_backbone",
-        )(points, knn_inds)
+        )(points, knn_inds, knn_plan=knn_plan)
         localdesc = localdesc.astype(jnp.float32)
         localdesc_l2 = l2_normalize(localdesc, axis=-1, epsilon=1e-8)
         outs["feat"] = unpermute(localdesc)
@@ -182,6 +206,7 @@ class DH3D(nn.Module):
                     bn_axis_name=axn,
                     dtype=dt,
                     method=method,
+                    exact_plan=morton_exact,
                     fast_grads=bool(cfg.fast_grads),
                     name="global_backbone",
                 )(newpoints, localdesc)
@@ -219,6 +244,33 @@ class DH3D(nn.Module):
             )
 
         return outs
+
+
+def init_variables(cfg, rng, batch=2, n_init=None):
+    """Initialize DH3D variables cheaply.
+
+    Param and batch-stats shapes are independent of cloud size N and of
+    the Morton op-routing method (routing only selects kernels; the
+    module tree and every parameter path are identical), but jitting
+    `model.init` over the full Morton graph at production N triggers a
+    pathological XLA fusion pass on DCE-reduced graphs on this backend —
+    minutes of compile for a program whose outputs are only the param
+    shapes (docs/PERF_NOTES.md round 4).  Init therefore traces the plain
+    gather graph at a small N; the resulting variables are exactly what
+    `model.init` at full size would produce (flax derives each param's
+    RNG from its module path, not from trace order).
+    """
+    icfg = dotdict(dict(cfg))
+    icfg.morton_order = False
+    kp = int(icfg.sampled_kpnum or 0)
+    n = int(n_init or max(256, kp))
+    model = DH3D(icfg)
+    pts = (jnp.arange(batch * n * 3, dtype=jnp.float32)
+           .reshape(batch, n, 3) % 37.0) * 0.1
+    inds = jnp.zeros((batch, kp), jnp.int32) if kp > 0 else None
+    return jax.jit(
+        lambda r: model.init(r, pts, sample_inds=inds, train=False)
+    )(rng)
 
 
 def concat_tuple_clouds(cfg, anchor, pos=None, neg=None, otherneg=None):

@@ -92,21 +92,27 @@ def _banded_ok(features, neighborhood, tile):
 
 
 def _flex_moments_banded(features, positions, neighborhood, tile, window,
-                         fast, assume_inband=False, bwd_lo=True):
+                         fast, assume_inband=False, bwd_lo=True,
+                         plan=None):
     """Moment reduction via the banded kernels (ops/pallas/banded_pallas.py).
 
-    Production path (assume_inband, fast, self-set, Dp=3): the specialized
-    moments kernel — neighbor-count matmul with position-scaled hi/lo
-    columns, no VPU accumulation loop (`flex_moments_banded_fast`).
+    Production paths (fast, self-set, Dp=3): the specialized moments
+    kernel — neighbor-count matmul with position-scaled hi/lo columns, no
+    VPU accumulation loop.  With `plan` (an `oob_plan` over this
+    neighborhood level): EXACT via the slot-compacted out-of-band
+    correction (`flex_moments_banded_planned` — the shipping Morton
+    default); with `assume_inband`: in-band entries only (approximate
+    mode, banded-kNN indices are in-band by construction).
     Otherwise: the generic weighted-sum kernel with explicit [1, delta]
     weights (exact for any index distribution via its oob correction)."""
     if _mixed_tracer_const(features, positions, neighborhood):
         return _flex_moments(features, positions, neighborhood)
     B, N, K = neighborhood.shape
-    if (assume_inband and fast and positions.shape[1] == N
-            and positions.shape[-1] == 3):
+    if (fast and positions.shape[1] == N and positions.shape[-1] == 3
+            and (plan is not None or assume_inband)):
         from dh3d_tpu.ops.pallas.banded_pallas import (
             flex_moments_banded_fast,
+            flex_moments_banded_planned,
         )
 
         pos0 = jnp.take_along_axis(
@@ -114,15 +120,27 @@ def _flex_moments_banded(features, positions, neighborhood, tile, window,
         # keep_pad: moments stay at the kernel's lane-padded channel
         # count; flex_conv pads the weight rows to match (exact — the
         # padded features are zeros)
+        if plan is not None:
+            return flex_moments_banded_planned(
+                features, positions, pos0, neighborhood, plan, tile,
+                window, plan.we, True, False, bwd_lo)
         return flex_moments_banded_fast(features, positions, pos0,
                                         neighborhood, tile, window,
                                         False, True, bwd_lo)
-    from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
-
     p_k = gather_neighbors(positions, neighborhood)  # [B,N,K,Dp] small
     delta = p_k - p_k[:, :, :1, :]
     ones = jnp.ones_like(delta[..., :1])
     weights = jnp.concatenate([ones, delta], axis=-1)  # [B,N,K,1+Dp]
+    if plan is not None:
+        from dh3d_tpu.ops.pallas.banded_pallas import (
+            banded_weighted_sum_planned,
+        )
+
+        return banded_weighted_sum_planned(
+            features, neighborhood, weights, plan, tile, window, plan.we,
+            fast, False)
+    from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
+
     return banded_weighted_sum(
         features, neighborhood, weights, None, tile, window, fast, False,
         assume_inband,
@@ -155,7 +173,7 @@ def _flex_moments(features, positions, neighborhood):
 
 def flex_conv(features, positions, neighborhood, theta, bias,
               method="gather", tile=256, window=512, fast=True,
-              assume_inband=False, bwd_lo=True):
+              assume_inband=False, bwd_lo=True, plan=None):
     """Flex convolution: linear-in-position dynamic filter over neighborhoods.
 
     Args:
@@ -171,6 +189,10 @@ def flex_conv(features, positions, neighborhood, theta, bias,
       tile/window/fast: banded-kernel parameters.
       bwd_lo: moments-backward cotangent precision (False = single-plane
         bf16, cfg.fast_grads; threaded statically per call).
+      plan: optional `oob_plan` over this neighborhood level (shared by
+        every banded op on it) — EXACT neighbor routing for arbitrary
+        indices via the slot-compacted correction (the shipping Morton
+        default; `assume_inband` is the approximate legacy mode).
 
     Returns:
       [B, N, Dout].
@@ -178,7 +200,8 @@ def flex_conv(features, positions, neighborhood, theta, bias,
     Dp, Din, Dout = theta.shape
     if method == "banded" and _banded_ok(features, neighborhood, tile):
         m = _flex_moments_banded(features, positions, neighborhood, tile,
-                                 window, fast, assume_inband, bwd_lo)
+                                 window, fast, assume_inband, bwd_lo,
+                                 plan)
         m = m.astype(features.dtype)
     else:
         m = _flex_moments(features, positions, neighborhood)
@@ -195,20 +218,29 @@ def flex_conv(features, positions, neighborhood, theta, bias,
 
 
 def flex_avg(features, neighborhood, method="gather", tile=256, window=512,
-             fast=True, assume_inband=False):
+             fast=True, assume_inband=False, plan=None):
     """Neighborhood sum — the `Flex_Avg` layer (`core/layers.py:342-436`):
     a flex_conv with zero theta and identity bias reduces to
     out[n] = sum_k feat[nk]; the caller scales by 1/K (`core/backbones.py:82`).
     """
     if method == "banded" and _banded_ok(features, neighborhood, tile):
-        from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
-
         # Derive from a traced operand so the weights stay a tracer under
         # jit: a concrete jnp.ones would become an embedded jit constant
         # next to traced operands — the S(1)-prefetch misread pitfall
         # (`_mixed_tracer_const`), which the guard can't see for
         # self-constructed arrays.
         ones = jnp.ones_like(neighborhood, dtype=features.dtype)[..., None]
+        if plan is not None:
+            from dh3d_tpu.ops.pallas.banded_pallas import (
+                banded_weighted_sum_planned,
+            )
+
+            return banded_weighted_sum_planned(
+                features, neighborhood, ones, plan, tile, window, plan.we,
+                fast, False,
+            ).astype(features.dtype)
+        from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
+
         return banded_weighted_sum(
             features, neighborhood, ones, None, tile, window, fast, False,
             assume_inband,
@@ -217,7 +249,7 @@ def flex_avg(features, neighborhood, method="gather", tile=256, window=512,
 
 
 def flex_pool(features, neighborhood, method="gather", tile=256,
-              window=512, fast=True, assume_inband=False):
+              window=512, fast=True, assume_inband=False, plan=None):
     """Max-pool over each point's neighborhood.
 
     features [B,N,D], neighborhood [B,M,K] -> (out [B,M,D], argmax [B,M,D]
@@ -225,9 +257,15 @@ def flex_pool(features, neighborhood, method="gather", tile=256,
     method='banded' uses the Morton-band max kernel (exact via scatter-max
     correction; argmax ties between in-band and out-of-band candidates
     resolve to in-band — gradient routing differs only on exact float
-    ties).
+    ties).  With `plan`: the slot-compacted exact correction
+    (`banded_max_planned`) — exact max/argmax for arbitrary indices.
     """
     if method == "banded" and _banded_ok(features, neighborhood, tile):
+        if plan is not None:
+            from dh3d_tpu.ops.pallas.banded_pallas import banded_max_planned
+
+            return banded_max_planned(features, neighborhood, plan, tile,
+                                      window, plan.we, fast, False)
         from dh3d_tpu.ops.pallas.banded_pallas import banded_max
 
         return banded_max(features, neighborhood, tile, window, fast,
@@ -274,7 +312,8 @@ def flex_deconv(features, positions, neighborhood, theta, bias):
 
 
 def conv_pointset(features, neighborhood, theta, bias, method="gather",
-                  tile=256, window=512, fast=True, assume_inband=False):
+                  tile=256, window=512, fast=True, assume_inband=False,
+                  plan=None):
     """1x1 conv on neighborhood feature *differences* ("conv_relative",
     DH3D's own op, `conv_pointset_kernel.cc:49-64`):
 
@@ -290,10 +329,25 @@ def conv_pointset(features, neighborhood, theta, bias, method="gather",
     """
     K = neighborhood.shape[-1]
     if method == "banded" and _banded_ok(features, neighborhood, tile):
-        from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
+        def _wsum(f, fast_):
+            ones = jnp.ones_like(neighborhood, dtype=f.dtype)[..., None]
+            if plan is not None:
+                from dh3d_tpu.ops.pallas.banded_pallas import (
+                    banded_weighted_sum_planned,
+                )
+
+                return banded_weighted_sum_planned(
+                    f, neighborhood, ones, plan, tile, window, plan.we,
+                    fast_, False)
+            from dh3d_tpu.ops.pallas.banded_pallas import (
+                banded_weighted_sum,
+            )
+
+            return banded_weighted_sum(
+                f, neighborhood, ones, None, tile, window, fast_, False,
+                assume_inband)
 
         # Tracer-derived ones (not a trace-time constant) — see flex_avg.
-        ones = jnp.ones_like(neighborhood, dtype=features.dtype)[..., None]
         Din = features.shape[-1]
         if fast:
             # hi/lo-split the features into two bf16 channels: the model
@@ -305,17 +359,11 @@ def conv_pointset(features, neighborhood, theta, bias, method="gather",
             # for free, so this costs nothing over the plain fast path.
             hi, lo = _hilo_split(features.astype(jnp.float32))
             f2 = jnp.concatenate([hi, lo], axis=-1)  # [B, N, 2*Din]
-            nsum2 = banded_weighted_sum(
-                f2, neighborhood, ones, None, tile, window, True, False,
-                assume_inband,
-            )
+            nsum2 = _wsum(f2, True)
             nsum = (nsum2[..., :Din]
                     + nsum2[..., Din:]).astype(features.dtype)
         else:
-            nsum = banded_weighted_sum(
-                features, neighborhood, ones, None, tile, window, False,
-                False, assume_inband,
-            ).astype(features.dtype)
+            nsum = _wsum(features, False).astype(features.dtype)
         f0 = jnp.take_along_axis(features, neighborhood[:, :, :1], axis=1)
         diff_sum = nsum - K * f0
         return (

@@ -50,14 +50,17 @@ def three_nn(xyz1, xyz2, impl="auto", window=None):
 
 
 def three_interpolate(points, idx, weight, method="gather", tile=256,
-                      window=256, fast=True, assume_inband=False):
+                      window=256, fast=True, assume_inband=False,
+                      plan=None):
     """Weighted interpolation of 3 neighbors (`tf_interpolate.cpp:107-127`).
 
     points: [B, M, C] features of known points; idx/weight: [B, N, 3].
     Returns [B, N, C]: out[n] = sum_j weight[n,j] * points[idx[n,j]].
     method='banded' uses the Morton-band one-hot-matmul kernel (P=1
     weighted sum) instead of the XLA gather — the dominant cost of the
-    upsample at [20, 8192, 256] (docs/PERF_NOTES.md).
+    upsample at [20, 8192, 256] (docs/PERF_NOTES.md).  With `plan` (an
+    `oob_plan(idx, M, tile, window)`): exact for arbitrary indices via
+    the slot-compacted correction.
     """
     from dh3d_tpu.ops.flex import _mixed_tracer_const
 
@@ -67,6 +70,15 @@ def three_interpolate(points, idx, weight, method="gather", tile=256,
             and C >= 32 and N % tile == 0 and M % tile == 0
             and M >= window
             and not _mixed_tracer_const(points, idx, weight)):
+        if plan is not None:
+            from dh3d_tpu.ops.pallas.banded_pallas import (
+                banded_weighted_sum_planned,
+            )
+
+            return banded_weighted_sum_planned(
+                points, idx, weight[..., None], plan, tile, window,
+                plan.we, fast, False,
+            ).astype(points.dtype)
         from dh3d_tpu.ops.pallas.banded_pallas import banded_weighted_sum
 
         return banded_weighted_sum(

@@ -35,7 +35,6 @@ start then advances at rate M/N.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -1118,10 +1117,11 @@ banded_max.defvjp(_banded_max_vjp_fwd, _banded_max_vjp_bwd)
 # is 380 of 640).
 
 
-class OobPlan(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class OobPlan:
     """Compacted out-of-band entry plan for one neighborhood level.
 
-    All fields are [B, ...] arrays (safe inside jit / custom_vjp residuals):
+    Array fields are [B, ...] (safe inside jit / custom_vjp residuals):
       e          [B, cap] int32   flattened (n*K + k) entry id, ascending
                                   (query-tile-major); invalid slots -> 0
       qrow       [B, cap] int32   query row n per slot; invalid -> 2**30
@@ -1133,70 +1133,123 @@ class OobPlan(NamedTuple):
       perm12     [B, cap] int32   slot index (fwd order) per transpose slot
       win_start2 [B, MT] int32    per-key-tile window start (transpose)
       overflow   [B] int32        entries dropped by cap/window limits
+      we         int (STATIC)     per-tile delivery window width the plan's
+                                  win_start clamps were built for — the
+                                  planned ops read it so plan geometry and
+                                  kernel WE can never diverge
     """
 
-    e: jax.Array
-    qrow: jax.Array
-    src: jax.Array
-    valid: jax.Array
-    win_start: jax.Array
-    s_src: jax.Array
-    perm12: jax.Array
-    win_start2: jax.Array
-    overflow: jax.Array
+    _FIELDS = ("e", "qrow", "src", "valid", "win_start", "s_src",
+               "perm12", "win_start2", "overflow")
+
+    def __init__(self, e, qrow, src, valid, win_start, s_src, perm12,
+                 win_start2, overflow, we=640):
+        self.e = e
+        self.qrow = qrow
+        self.src = src
+        self.valid = valid
+        self.win_start = win_start
+        self.s_src = s_src
+        self.perm12 = perm12
+        self.win_start2 = win_start2
+        self.overflow = overflow
+        self.we = int(we)
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in self._FIELDS), self.we
+
+    @classmethod
+    def tree_unflatten(cls, we, children):
+        return cls(*children, we=we)
 
 
 _SENT = jnp.int32(2 ** 30)  # sentinel row id: never equals a real row
 
 
-def _plan_windows(sorted_rows, n_rows, tile, cap, we):
+def _count_windows(rows, valid, n_rows, tile, cap, we):
     """Per-tile aligned window starts into a row-sorted compact list, plus
-    the count of entries a window fails to cover."""
+    the count of entries the we-wide window fails to cover.
+
+    Implemented by COUNTING (one compare+reduce against the 32-ish tile
+    boundaries) rather than `jnp.searchsorted`: on this backend the
+    vmapped searchsorted costs minutes of XLA compile time and ~100 ms of
+    runtime, while the equivalent count of `rows < boundary` over a
+    row-sorted list is a trivial fused reduction.  `rows` need NOT be
+    sorted for the counts themselves — only the caller's delivery order
+    must match the cumulative counts (contiguous per-tile runs)."""
     tgt = jnp.arange(0, n_rows, tile, dtype=jnp.int32)
-    lo = jax.vmap(
-        lambda r: jnp.searchsorted(r, tgt, side="left"))(sorted_rows)
-    hi = jax.vmap(
-        lambda r: jnp.searchsorted(r, tgt + tile, side="left"))(sorted_rows)
+    r = jnp.where(valid, rows, jnp.int32(2 ** 30))
+    # lo[b,t] = #entries with row < t*tile; hi adds the tile's own count
+    cmp_lo = (r[:, :, None] < tgt[None, None, :]).astype(jnp.int32)
+    cmp_hi = (r[:, :, None] < (tgt + tile)[None, None, :]).astype(jnp.int32)
+    lo = jnp.sum(cmp_lo, axis=1)
+    hi = jnp.sum(cmp_hi, axis=1)
     start = jnp.clip((lo // _ALIGN) * _ALIGN, 0, max(cap - we, 0))
-    uncovered = jnp.sum(jnp.maximum(hi.astype(jnp.int32)
-                                    - start - we, 0), axis=1)
+    uncovered = jnp.sum(jnp.maximum(hi - start - we, 0), axis=1)
     return start.astype(jnp.int32), uncovered.astype(jnp.int32)
 
 
 def oob_plan(nbh, M, tile=256, window=512, cap=None, we=640):
     """Build the slot-compaction plan for `nbh` [B, N, K] against the
-    banded kernels' (tile, window) geometry over M key rows.  Pure XLA
-    (sort + searchsorted; no scatter), intended to be computed ONCE per
-    neighborhood level and shared by every planned op on it."""
+    banded kernels' (tile, window) geometry over M key rows.  Computed
+    ONCE per neighborhood level per step and shared by every planned op
+    on that level, so its own cost is on the hot path.  TPU-native
+    construction notes:
+
+    * Forward list: compacted PER QUERY TILE — each tile's T*K entries
+      are already in ascending (n, k) order, so a [B*NT, T*K]-row sort of
+      (local id | sentinel) keys compacts them stably; short-row sorts
+      compile in seconds and run ~3 ms at [640, 2048], where one global
+      [B, N*K] searchsorted-based compaction costs minutes of compile.
+      Tile t's entries live at slots [t*we, t*we + we): window starts are
+      static and the total capacity is NT*we (per-tile overflow is
+      counted, not dropped silently).
+    * Transpose list (VJP delivery to source rows): one [B, NT*we] two-
+      operand sort by source row.  Its window starts/overflow come from
+      COUNTS alone (`_count_windows`), so a forward-only graph (eval,
+      bench fwd) dead-code-eliminates the transpose sort entirely.
+    * `cap` is accepted for API compatibility but derived as NT*we.
+    """
+    del cap
     B, N, K = nbh.shape
-    NK = N * K
-    if cap is None:
-        cap = max(we, -(-NK // 8) // _ALIGN * _ALIGN)
-    cap = max(cap, we)
+    if N % tile:
+        raise ValueError(f"oob_plan: N={N} not divisible by tile={tile}")
+    NT = N // tile
+    seg = tile * K
+    we = -(-we // _ALIGN) * _ALIGN  # window starts must stay 128-aligned
+    we = min(we, -(-seg // _ALIGN) * _ALIGN)  # no wider than one segment
+    cap = NT * we
+
     starts = _starts_host(N, M, tile, window)
-    oob = _oob_mask(nbh, starts, window).reshape(B, NK)
-    eidx = jnp.arange(NK, dtype=jnp.int32)
-    key = jnp.where(oob, eidx[None], jnp.int32(NK))
-    entries = jax.lax.sort(key, dimension=1)[:, :cap]
-    valid = entries < NK
-    e = jnp.where(valid, entries, 0)
+    oob = _oob_mask(nbh, starts, window).reshape(B, NT, seg)
+    loc = jnp.arange(seg, dtype=jnp.int32)
+    key = jnp.where(oob, loc[None, None], jnp.int32(seg))
+    e_loc = jax.lax.sort(key.reshape(B * NT, seg),
+                         dimension=1)[:, :we].reshape(B, NT, we)
+    valid = (e_loc < seg).reshape(B, cap)
+    base = (jnp.arange(NT, dtype=jnp.int32) * seg)[None, :, None]
+    e = jnp.where(valid, (e_loc + base).reshape(B, cap), 0)
     qrow = jnp.where(valid, e // K, _SENT)
     src = jnp.where(
         valid,
-        jnp.take_along_axis(nbh.reshape(B, NK), e, axis=1), 0
+        jnp.take_along_axis(nbh.reshape(B, N * K), e, axis=1), 0
     ).astype(jnp.int32)
 
-    win_start, unc1 = _plan_windows(qrow, N, tile, cap, we)
+    # static per-tile window starts (t*we, already _ALIGN-aligned)
+    win_start = jnp.broadcast_to(
+        (jnp.arange(NT, dtype=jnp.int32) * we)[None], (B, NT))
+    cnt = jnp.sum(oob, axis=2).astype(jnp.int32)  # [B, NT]
+    unc1 = jnp.sum(jnp.maximum(cnt - we, 0), axis=1)
 
+    # transpose ordering: sorted by source row; dead in fwd-only graphs
     skey = jnp.where(valid, src, _SENT)
     iota = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32), (B, cap))
     s_src, perm12 = jax.lax.sort((skey, iota), dimension=1, num_keys=1)
-    win_start2, unc2 = _plan_windows(s_src, M, tile, cap, we)
+    win_start2, unc2 = _count_windows(src, valid, M, tile, cap, we)
 
-    total = jnp.sum(oob, axis=1).astype(jnp.int32)
-    overflow = jnp.maximum(total - cap, 0) + unc1 + unc2
+    overflow = unc1 + unc2
     return OobPlan(e, qrow, src, valid, win_start, s_src, perm12,
-                   win_start2, overflow)
+                   win_start2, overflow, we=we)
 
 
 def _slot_kernel(contrib_hbm, qrow_ref, off_ref, out_ref, c_win,
@@ -1487,6 +1540,100 @@ def _max_planned_vjp_bwd(tile, window, we, fast, interpret, res, ct):
 
 
 banded_max_planned.defvjp(_max_planned_vjp_fwd, _max_planned_vjp_bwd)
+
+
+def _moments_plan_weights(positions, pos0, plan):
+    """Per-oob-entry flex-conv moment weights [B, cap, 4]:
+    w_e = [1, pos[src_e] - pos0[qrow_e]] (the affine flex weights of
+    `flex_conv_kernel.cc:59-60`), zeroed at invalid slots."""
+    N = positions.shape[1]
+    qsafe = jnp.clip(plan.qrow, 0, N - 1)
+    p_src = jnp.take_along_axis(
+        positions.astype(jnp.float32), plan.src[..., None], axis=1)
+    p_q = jnp.take_along_axis(
+        pos0.astype(jnp.float32), qsafe[..., None], axis=1)
+    ones = jnp.ones_like(p_src[..., :1])
+    w_e = jnp.concatenate([ones, p_src - p_q], axis=-1)  # [B, cap, 4]
+    return w_e * plan.valid[..., None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def flex_moments_banded_planned(features, positions, pos0, nbh, plan,
+                                tile=256, window=512, we=640, fast=True,
+                                interpret=False, bwd_lo=True):
+    """EXACT flex-conv moments: the specialized in-band moments kernel
+    (`flex_moments_banded_fast`, which contributes zero for any
+    out-of-band index) plus the slot-compacted scatter-free delivery of
+    the out-of-band entries (`slot_correction`).  Exact neighborhood
+    routing for ARBITRARY index distributions up to the plan's static
+    capacity (drops are counted in plan.overflow — zero on real
+    Morton-sorted clouds); float rounding is the banded kernels' bf16
+    window class (`fast=True`, ~1e-4..1e-3 relative) or f32 delivery
+    (`fast=False`, correction exact).
+
+    Always returns the kernel's lane-padded channel layout
+    [B, N, 4*Cpad] (keep_pad semantics — callers pad the weight rows).
+
+    Differentiable in `features`; positions/pos0/nbh/plan get zero
+    cotangent (reference parity: no position gradient in the CUDA flex
+    kernels, `flex_conv_kernel_gpu.cu.cc:169-385`)."""
+    out, _ = _moments_planned_fwd(features, positions, pos0, nbh, plan,
+                                  tile, window, we, fast, interpret,
+                                  bwd_lo)
+    return out
+
+
+def _moments_planned_fwd(features, positions, pos0, nbh, plan, tile,
+                         window, we, fast, interpret, bwd_lo):
+    B, N, C0 = features.shape
+    idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
+    pos_t = jnp.transpose(positions, (0, 2, 1)).astype(jnp.float32)
+    pos0_t = jnp.transpose(pos0, (0, 2, 1)).astype(jnp.float32)
+    inband = _moments_fwd_call(features, pos_t, pos0_t, idx_t, tile,
+                               window, interpret, keep_pad=True)
+    w_e = _moments_plan_weights(positions, pos0, plan)
+    # pad the correction's feature channels to the kernel's lane-padded
+    # count so the two terms share the [B, N, 4*Cpad] layout (the padded
+    # channels are zeros -> the correction there is exactly zero)
+    featp, _, _ = _pad_c(features)
+    corr = slot_correction(featp, w_e, plan, 4, tile, we, N, fast,
+                           interpret)
+    return inband + corr, (features, positions, pos0, nbh, plan, w_e)
+
+
+def _moments_planned_vjp_fwd(features, positions, pos0, nbh, plan, tile,
+                             window, we, fast, interpret, bwd_lo):
+    return _moments_planned_fwd(features, positions, pos0, nbh, plan,
+                                tile, window, we, fast, interpret, bwd_lo)
+
+
+def _moments_planned_vjp_bwd(tile, window, we, fast, interpret, bwd_lo,
+                             res, dm):
+    features, positions, pos0, nbh, plan, w_e = res
+    B, N, C0 = features.shape
+    Cp = dm.shape[-1] // 4
+    idx_t = jnp.transpose(nbh, (0, 2, 1)).astype(jnp.int32)
+    pos_t = jnp.transpose(positions, (0, 2, 1)).astype(jnp.float32)
+    pos0_t = jnp.transpose(pos0, (0, 2, 1)).astype(jnp.float32)
+    WB = window + 2 * tile
+    if WB > N:
+        WB = N
+    dm = dm.astype(jnp.float32)
+    d_ib = _moments_bwd_call(dm, pos_t, pos0_t, idx_t, tile, window, WB,
+                             interpret, lo=bwd_lo)  # [B, N, Cp]
+    # correction transpose: dfeat[src_e] += sum_p w_e[p] * dM[qrow_e, p, :]
+    qsafe = jnp.clip(plan.qrow, 0, N - 1)
+    dmq = jnp.take_along_axis(dm, qsafe[..., None], axis=1)
+    cap = w_e.shape[1]
+    dval = jnp.einsum("bep,bepc->bec", w_e, dmq.reshape(B, cap, 4, Cp),
+                      preferred_element_type=jnp.float32)
+    d_oob = slot_transpose(dval, plan, tile, we, N, fast, interpret)
+    dfeat = (d_ib + d_oob)[..., :C0].astype(features.dtype)
+    return dfeat, None, None, None, None
+
+
+flex_moments_banded_planned.defvjp(_moments_planned_vjp_fwd,
+                                   _moments_planned_vjp_bwd)
 
 
 # ------------------------------ Morton order ------------------------------

@@ -123,25 +123,15 @@ def kernel_l2(params):
 
 
 def init_state(cfg, rng, sample_batch) -> TrainState:
-    """Initialize model + optimizer from one example batch (jitted init)."""
-    model = DH3D(cfg)
+    """Initialize model + optimizer from one example batch.
 
-    if "pc1" in sample_batch:
-        # device-pairgen raw batch: init from the equivalent shapes
-        B, N = sample_batch["pc1"].shape[:2]
-        init_points = jnp.concatenate(
-            [sample_batch["pc1"], sample_batch["pc2"]])
-        init_inds = jnp.zeros((2 * B, cfg.sampled_kpnum), jnp.int32)
-    else:
-        init_points = sample_batch["points"]
-        init_inds = sample_batch.get("sample_inds")
+    Variables come from `nn.init_variables` — the cheap small-N gather-
+    graph init (param/batch-stats shapes are N- and routing-independent;
+    jitting init over the full Morton graph hits a minutes-long XLA
+    fusion pathology on DCE-reduced graphs, docs/PERF_NOTES.md)."""
+    from dh3d_tpu.nn import init_variables
 
-    @jax.jit
-    def _init(rng):
-        return model.init(rng, init_points, sample_inds=init_inds,
-                          train=False)
-
-    variables = _init(rng)
+    variables = init_variables(cfg, rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", flax.core.freeze({}))
     tx = make_optimizer(cfg, params)

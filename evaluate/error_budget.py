@@ -1,21 +1,28 @@
 #!/usr/bin/env python
-"""Morton fast-path error budget — the evidence for making it the default.
+"""Morton fast-path error budget — the evidence behind the default path.
 
-Quantifies, on TRAINED weights and ALL demo clouds, what the Morton-band
-approximation (banded kNN + bf16 banded kernels; `dh3d_tpu/ops/pallas/
-banded_pallas.py`) changes relative to the exact-semantics parity path
-(`ops.flex_*` gathers + exact kNN, matching `user_ops/knn_bruteforce
-_kernel.cc:25-72` / `flex_conv_kernel.cc:48-68` semantics):
+Quantifies, on TRAINED weights and ALL demo clouds, what each Morton mode
+changes relative to the exact-semantics parity path (`ops.flex_*` gathers
++ exact kNN, matching `user_ops/knn_bruteforce_kernel.cc:25-72` /
+`flex_conv_kernel.cc:48-68` semantics):
+
+  morton  = the SHIPPING DEFAULT (morton_exact=True): exact kNN
+            neighborhoods + slot-compacted out-of-band correction — same
+            candidate sets as parity; residual drift is only the banded
+            kernels' bf16 window rounding.
+  approx  = the legacy mode (morton_exact=False): banded kNN, in-band
+            candidates only — 4-9% of neighbors replaced (the mode this
+            harness was originally built to bound).
 
   A. per-op     banded-kNN neighbor agreement + neighbor-distance error
-                over every demo cloud
+                over every demo cloud (the approx mode's index error)
   B. model      per-point local-descriptor cosine drift, attention-rank
                 correlation, top-K keypoint overlap, per-cloud global-
-                descriptor cosine drift (parity fwd vs morton fwd, same
-                trained weights)
-  C. task       cross-sequence retrieval recall parity-vs-morton with a
-                PAIRED BOOTSTRAP CI over queries, and partial-overlap
-                keypoint repeatability in both modes
+                descriptor cosine drift (each morton mode vs parity,
+                same trained weights)
+  C. task       cross-sequence retrieval recall vs parity with a PAIRED
+                BOOTSTRAP CI over queries, and partial-overlap keypoint
+                repeatability in all modes
 
 Writes one JSON artifact (--json) and prints a markdown summary suitable
 for docs/ERROR_BUDGET.md.
@@ -45,24 +52,35 @@ def load_variables(model_path):
     return resolve_model(model_path)
 
 
-def forward_pair(cfg, variables, extract_global, num_points):
-    """(parity_fwd, morton_fwd) jitted closures over the same weights."""
+# (mode name, morton_order, morton_exact)
+MODES = (("parity", False, True), ("morton", True, True),
+         ("approx", True, False))
+
+
+def _mode_cfg(cfg, mode, extract_global, num_points):
     import copy
 
+    c = copy.deepcopy(cfg)
+    c.num_points = num_points
+    c.sampled_kpnum = -1
+    c.input_R = False
+    c.extract_global = extract_global
+    _, c.morton_order, c.morton_exact = next(
+        m for m in MODES if m[0] == mode)
+    c.morton_presorted = False
+    return c
+
+
+def forward_modes(cfg, variables, extract_global, num_points):
+    """{mode: jitted forward} over the same weights, one per MODES entry."""
     from dh3d_tpu.eval.extract import make_forward
     from dh3d_tpu.nn import DH3D
 
     fwds = {}
-    for mode, morton in (("parity", False), ("morton", True)):
-        c = copy.deepcopy(cfg)
-        c.num_points = num_points
-        c.sampled_kpnum = -1
-        c.input_R = False
-        c.extract_global = extract_global
-        c.morton_order = morton
-        c.morton_presorted = False
+    for mode, _, _ in MODES:
+        c = _mode_cfg(cfg, mode, extract_global, num_points)
         fwds[mode] = make_forward(c, variables, DH3D(c))
-    return fwds["parity"], fwds["morton"]
+    return fwds
 
 
 def load_clouds(pcdpath, num_points, rng):
@@ -119,39 +137,50 @@ def knn_agreement(clouds, k=8, window=512):
 
 
 def local_drift(cfg, variables, clouds, topk=512):
-    """B (local model): per-point descriptor cosine + attention agreement."""
-    fwd_p, fwd_m = forward_pair(cfg, variables, False, clouds[0].shape[0])
+    """B (local model): per-point descriptor cosine + attention agreement,
+    per morton mode vs parity."""
+    fwds = forward_modes(cfg, variables, False, clouds[0].shape[0])
 
-    cos_all, rank_corr, kp_overlap = [], [], []
+    acc = {m: {"cos": [], "rank": [], "kp": [], "oob": 0}
+           for m, mo, _ in MODES if mo}
     for pts in clouds:
         batch = pts[None]
-        op = {k: np.asarray(v) for k, v in fwd_p(batch).items()}
-        om = {k: np.asarray(v) for k, v in fwd_m(batch).items()}
-        dp, dm = op["local_desc"][0], om["local_desc"][0]
-        cos = np.sum(dp * dm, axis=-1)  # both already l2-normalized
-        cos_all.append(cos)
-        if "attention" in op:
-            ap, am = op["attention"][0].ravel(), om["attention"][0].ravel()
-            rp = np.argsort(np.argsort(ap))
-            rm = np.argsort(np.argsort(am))
-            rank_corr.append(float(np.corrcoef(rp, rm)[0, 1]))
-            tp = set(np.argsort(-ap)[:topk])
-            tm = set(np.argsort(-am)[:topk])
-            kp_overlap.append(len(tp & tm) / float(topk))
-    cos_all = np.concatenate(cos_all)
-    out = {
-        "local_desc_cos_p50": float(np.percentile(cos_all, 50)),
-        "local_desc_cos_p01": float(np.percentile(cos_all, 1)),
-        "local_desc_cos_min": float(cos_all.min()),
-        "local_desc_cos_frac_below_0.99": float(np.mean(cos_all < 0.99)),
-    }
-    if rank_corr:
-        out.update({
-            "attention_spearman_mean": float(np.mean(rank_corr)),
-            "attention_spearman_min": float(np.min(rank_corr)),
-            f"keypoint_overlap@{topk}_mean": float(np.mean(kp_overlap)),
-            f"keypoint_overlap@{topk}_min": float(np.min(kp_overlap)),
-        })
+        op = {k: np.asarray(v) for k, v in fwds["parity"](batch).items()}
+        for mode in acc:
+            om = {k: np.asarray(v) for k, v in fwds[mode](batch).items()}
+            dp, dm = op["local_desc"][0], om["local_desc"][0]
+            acc[mode]["cos"].append(np.sum(dp * dm, axis=-1))  # l2-normed
+            if "oob_overflow" in om:
+                acc[mode]["oob"] += int(np.sum(om["oob_overflow"]))
+            if "attention" in op:
+                ap = op["attention"][0].ravel()
+                am = om["attention"][0].ravel()
+                rp = np.argsort(np.argsort(ap))
+                rm = np.argsort(np.argsort(am))
+                acc[mode]["rank"].append(
+                    float(np.corrcoef(rp, rm)[0, 1]))
+                tp = set(np.argsort(-ap)[:topk])
+                tm = set(np.argsort(-am)[:topk])
+                acc[mode]["kp"].append(len(tp & tm) / float(topk))
+
+    out = {}
+    for mode, a in acc.items():
+        cos_all = np.concatenate(a["cos"])
+        out[mode] = {
+            "local_desc_cos_p50": float(np.percentile(cos_all, 50)),
+            "local_desc_cos_p01": float(np.percentile(cos_all, 1)),
+            "local_desc_cos_min": float(cos_all.min()),
+            "local_desc_cos_frac_below_0.99":
+                float(np.mean(cos_all < 0.99)),
+            "oob_plan_overflow_total": a["oob"],
+        }
+        if a["rank"]:
+            out[mode].update({
+                "attention_spearman_mean": float(np.mean(a["rank"])),
+                "attention_spearman_min": float(np.min(a["rank"])),
+                f"keypoint_overlap@{topk}_mean": float(np.mean(a["kp"])),
+                f"keypoint_overlap@{topk}_min": float(np.min(a["kp"])),
+            })
     return out
 
 
@@ -175,14 +204,8 @@ def global_drift_and_retrieval(cfg, variables, pcdpath, num_points,
     query_gt = os.path.join(pcdpath, "global_query_demo.pickle")
 
     dirs = {}
-    for mode, morton in (("parity", False), ("morton", True)):
-        c = copy.deepcopy(cfg)
-        c.num_points = num_points
-        c.sampled_kpnum = -1
-        c.input_R = False
-        c.extract_global = True
-        c.morton_order = morton
-        c.morton_presorted = False
+    for mode, _, _ in MODES:
+        c = _mode_cfg(cfg, mode, True, num_points)
         out = tempfile.mkdtemp(prefix=f"ebudget_{mode}_")
         done = set()
         for gt_file in (ref_gt, query_gt):
@@ -193,21 +216,23 @@ def global_drift_and_retrieval(cfg, variables, pcdpath, num_points,
                            model=DH3D(c))
         dirs[mode] = out
 
-    # per-cloud global-descriptor cosine drift
-    cos = []
+    # per-cloud global-descriptor cosine drift, each morton mode vs parity
+    cos = {m: [] for m in dirs if m != "parity"}
     for f in sorted(glob.glob(os.path.join(dirs["parity"], "**", "*.bin"),
                               recursive=True)):
         rel = os.path.relpath(f, dirs["parity"])
         a = np.fromfile(f, np.float32)
-        b = np.fromfile(os.path.join(dirs["morton"], rel), np.float32)
-        cos.append(float(np.dot(a, b) /
-                         max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)))
-    cos = np.asarray(cos)
+        for mode in cos:
+            b = np.fromfile(os.path.join(dirs[mode], rel), np.float32)
+            cos[mode].append(float(
+                np.dot(a, b)
+                / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)))
+    cos = {m: np.asarray(v) for m, v in cos.items()}
 
     # per-query hit vectors for the paired bootstrap (cross-sequence
     # protocol, `evaluation_retrieval.py:129-158`)
     hits = {}
-    for mode in ("parity", "morton"):
+    for mode in dirs:
         ref_sets = load_sets_from_dir(ref_gt, dirs[mode])
         query_sets = load_sets_from_dir(query_gt, dirs[mode])
         h1, h25 = [], []
@@ -224,41 +249,42 @@ def global_drift_and_retrieval(cfg, variables, pcdpath, num_points,
         hits[mode] = (np.concatenate(h1).astype(float),
                       np.concatenate(h25).astype(float))
 
-    rng = np.random.default_rng(seed)
-    nq = len(hits["parity"][0])
-    boots = {"r1": [], "r25": []}
-    for _ in range(n_boot):
-        idx = rng.integers(0, nq, nq)
-        boots["r1"].append(hits["morton"][0][idx].mean()
-                           - hits["parity"][0][idx].mean())
-        boots["r25"].append(hits["morton"][1][idx].mean()
-                            - hits["parity"][1][idx].mean())
-
     def ci(v):
         return [float(np.percentile(v, 2.5)), float(np.percentile(v, 97.5))]
 
-    return {
-        "global_desc_cos_p50": float(np.percentile(cos, 50)),
-        "global_desc_cos_min": float(cos.min()),
-        "n_clouds": int(len(cos)),
-        "n_queries": int(nq),
-        "recall@1_parity": float(hits["parity"][0].mean()),
-        "recall@1_morton": float(hits["morton"][0].mean()),
-        "recall@25_parity": float(hits["parity"][1].mean()),
-        "recall@25_morton": float(hits["morton"][1].mean()),
-        "recall@1_diff_morton_minus_parity_ci95": ci(boots["r1"]),
-        "recall@25_diff_morton_minus_parity_ci95": ci(boots["r25"]),
-    }
+    rng = np.random.default_rng(seed)
+    nq = len(hits["parity"][0])
+    out = {"n_queries": int(nq),
+           "recall@1_parity": float(hits["parity"][0].mean()),
+           "recall@25_parity": float(hits["parity"][1].mean())}
+    for mode in cos:
+        boots = {"r1": [], "r25": []}
+        for _ in range(n_boot):
+            idx = rng.integers(0, nq, nq)
+            boots["r1"].append(hits[mode][0][idx].mean()
+                               - hits["parity"][0][idx].mean())
+            boots["r25"].append(hits[mode][1][idx].mean()
+                                - hits["parity"][1][idx].mean())
+        out[mode] = {
+            "global_desc_cos_p50": float(np.percentile(cos[mode], 50)),
+            "global_desc_cos_min": float(cos[mode].min()),
+            "n_clouds": int(len(cos[mode])),
+            "recall@1": float(hits[mode][0].mean()),
+            "recall@25": float(hits[mode][1].mean()),
+            "recall@1_diff_vs_parity_ci95": ci(boots["r1"]),
+            "recall@25_diff_vs_parity_ci95": ci(boots["r25"]),
+        }
+    return out
 
 
 def repeatability_parity(cfg, variables, clouds, num_points, seed=0):
-    """C: partial-overlap repeatability@512 in both modes."""
+    """C: partial-overlap repeatability@512 in every mode."""
     from dh3d_tpu.eval.repeatability import (
         make_partial_overlap_pairs,
         repeatability_curve_pairs,
     )
 
-    fwd_p, fwd_m = forward_pair(cfg, variables, False, num_points)
+    fwds = forward_modes(cfg, variables, False, num_points)
 
     def extractor(fwd):
         def fn(pts):
@@ -270,7 +296,7 @@ def repeatability_parity(cfg, variables, clouds, num_points, seed=0):
     pairs = make_partial_overlap_pairs(clouds, numpts=num_points,
                                        seed=seed)
     out = {}
-    for mode, fwd in (("parity", fwd_p), ("morton", fwd_m)):
+    for mode, fwd in fwds.items():
         rep = repeatability_curve_pairs(extractor(fwd), pairs, ks=(512,))
         out[f"repeatability@512_{mode}"] = float(rep[512])
     return out

@@ -29,10 +29,14 @@ jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 if os.environ["JAX_PLATFORMS"] == "cpu":
     jax.config.update("jax_num_cpu_devices", 8)
 
-# Persistent compilation cache: the suite re-compiles many small graphs;
-# cache across runs (single-core CPU machine, compiles dominate runtime).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache: jaxlib 0.9.0's XLA:CPU hoists large
+# embedded constants into executable-internal buffers, and a deserialized
+# cache entry for such a program expects them as RUNTIME arguments — any
+# cache hit on a big-model forward then crashes at execute time with
+# "Execution supplied K buffers but compiled program expected N".  The
+# in-process tracing cache is unaffected; cross-run compile reuse is not
+# worth silently-poisoned executables.  (Reproduced on the demo-data
+# fidelity tests: second identical jit of the stage-3 forward.)
 
 
 @pytest.fixture
