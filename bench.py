@@ -86,8 +86,11 @@ def bench_forward(jax, jnp, B=20, N=8192, iters=30, morton=False):
 
     variables = init_variables(cfg, jax.random.PRNGKey(0))
 
+    # operands ride as jit ARGUMENTS (PERF_NOTES backend pitfall: closure
+    # constants next to traced operands are misread / rejected on this
+    # backend once Mosaic kernels are involved)
     @jax.jit
-    def fwd_scalar(salt):
+    def fwd_scalar(salt, variables, points):
         outs = model.apply(variables, points + salt * 1e-12, train=False)
         return (
             jnp.sum(outs["local_desc"][:, 0, 0])
@@ -95,7 +98,8 @@ def bench_forward(jax, jnp, B=20, N=8192, iters=30, morton=False):
             + jnp.sum(outs["attention"][:, 0, 0])
         )
 
-    dt, _ = _chain_time(fwd_scalar, jnp.float32(0), iters)
+    dt, _ = _chain_time(lambda s: fwd_scalar(s, variables, points),
+                        jnp.float32(0), iters)
     return B / dt
 
 
@@ -140,20 +144,23 @@ def bench_train_step(jax, jnp, B=10, N=8192, iters=10, morton=False,
     state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
     step = trainlib.make_train_step(cfg)
 
-    # chain via the loss scalar -> next step's points perturbation
+    # chain via the loss scalar -> next step's points perturbation; the
+    # batch rides as a jit ARGUMENT (closure-constant batches next to a
+    # traced carry hit the backend's S(1)-prefetch pitfall: the exact
+    # morton train step fails with INVALID_ARGUMENT at execute)
     @jax.jit
-    def one(carry):
+    def one(carry, batch):
         salt, st = carry
         b = dict(batch)
         b["points"] = batch["points"] + salt * 1e-12
         st, metrics = step(st, b)
         return (metrics["total_cost"], st)
 
-    carry = one((jnp.float32(0), state))
+    carry = one((jnp.float32(0), state), batch)
     float(carry[0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        carry = one(carry)
+        carry = one(carry, batch)
     val = float(carry[0])
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(val)
@@ -195,19 +202,78 @@ def bench_flex_conv(jax, jnp, B=20, N=8192, k=8, cin=64, cout=64, iters=30):
     return dt * 1e3
 
 
-def main():
+WORKLOADS = {
+    # production fast path: Morton-ordered clouds + banded kernels,
+    # EXACT neighbor semantics (morton_exact default)
+    "fwd_fast": lambda jax, jnp: bench_forward(jax, jnp, morton=True),
+    # reference-parity path (exact XLA-gather ops, unsorted)
+    "fwd_parity": lambda jax, jnp: bench_forward(jax, jnp, morton=False),
+    "train_fast": lambda jax, jnp: bench_train_step(jax, jnp, morton=True),
+    "train_pre": lambda jax, jnp: bench_train_step(jax, jnp, morton=True,
+                                                   presorted=True),
+    "train_cps": lambda jax, jnp: bench_train_step(jax, jnp),
+    "knn_ms": lambda jax, jnp: bench_knn(jax, jnp),
+    "flex_ms": lambda jax, jnp: bench_flex_conv(jax, jnp),
+}
+
+
+def _run_workload(name):
     import jax
     import jax.numpy as jnp
 
-    # production fast path: Morton-ordered clouds + banded kernels
-    fwd_fast = bench_forward(jax, jnp, morton=True)
-    # reference-parity path (exact XLA-gather ops, unsorted)
-    fwd_parity = bench_forward(jax, jnp, morton=False)
-    train_fast = bench_train_step(jax, jnp, morton=True)
-    train_pre = bench_train_step(jax, jnp, morton=True, presorted=True)
-    train_cps = bench_train_step(jax, jnp)
-    knn_ms = bench_knn(jax, jnp)
-    flex_ms = bench_flex_conv(jax, jnp)
+    return WORKLOADS[name](jax, jnp)
+
+
+def _collect():
+    """Run each workload in a FRESH subprocess.
+
+    The axon backend accumulates state across big compiled programs in one
+    process (observed: the exact-morton train step deterministically fails
+    with INVALID_ARGUMENT at execute after the two forward benches
+    compiled in the same process, yet succeeds standalone) — per-workload
+    processes keep every measurement clean and independent."""
+    import os
+    import subprocess
+    import sys
+
+    out = {}
+    for name in WORKLOADS:
+        val, err = None, ""
+        for attempt in range(2):  # the tunnel occasionally drops a run
+            r = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__),
+                 "--worker", name],
+                capture_output=True, text=True, timeout=3000,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+            for line in r.stdout.splitlines():
+                if line.startswith("WORKER_RESULT "):
+                    val = float(line.split()[1])
+            if val is not None:
+                break
+            err = f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+            print(f"# workload {name} attempt {attempt} failed; retrying",
+                  file=sys.stderr, flush=True)
+        if val is None:
+            raise RuntimeError(f"workload {name} failed twice:\n{err}")
+        out[name] = val
+    return out
+
+
+def main():
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        print("WORKER_RESULT", _run_workload(sys.argv[2]))
+        return
+
+    vals = _collect()
+    fwd_fast = vals["fwd_fast"]
+    fwd_parity = vals["fwd_parity"]
+    train_fast = vals["train_fast"]
+    train_pre = vals["train_pre"]
+    train_cps = vals["train_cps"]
+    knn_ms = vals["knn_ms"]
+    flex_ms = vals["flex_ms"]
 
     print(
         json.dumps(

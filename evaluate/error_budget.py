@@ -141,13 +141,24 @@ def local_drift(cfg, variables, clouds, topk=512):
     per morton mode vs parity."""
     fwds = forward_modes(cfg, variables, False, clouds[0].shape[0])
 
+    # Reference frames: "parity" differs from every morton mode by the
+    # FPS seeding too (Z-sorted input reorders the farthest-point-sample
+    # trajectory — the morton forward is input-order-invariant, the
+    # gather forward is not), so morton-vs-parity bounds approximation
+    # PLUS legitimate seed variation.  "approx vs morton" isolates the
+    # pure banded-kNN approximation (identical FPS seeds).
     acc = {m: {"cos": [], "rank": [], "kp": [], "oob": 0}
            for m, mo, _ in MODES if mo}
+    acc["approx_vs_morton"] = {"cos": [], "rank": [], "kp": [], "oob": 0}
     for pts in clouds:
         batch = pts[None]
-        op = {k: np.asarray(v) for k, v in fwds["parity"](batch).items()}
+        outs = {m: {k: np.asarray(v) for k, v in fwds[m](batch).items()}
+                for m, _, _ in MODES}
         for mode in acc:
-            om = {k: np.asarray(v) for k, v in fwds[mode](batch).items()}
+            if mode == "approx_vs_morton":
+                op, om = outs["morton"], outs["approx"]
+            else:
+                op, om = outs["parity"], outs[mode]
             dp, dm = op["local_desc"][0], om["local_desc"][0]
             acc[mode]["cos"].append(np.sum(dp * dm, axis=-1))  # l2-normed
             if "oob_overflow" in om:
@@ -302,6 +313,113 @@ def repeatability_parity(cfg, variables, clouds, num_points, seed=0):
     return out
 
 
+def write_markdown(report, path):
+    """docs/ERROR_BUDGET.md from the report dict."""
+    a = report["A_knn"]
+    bl = report["B_local"]
+    g = report["BC_global"]
+    rep = report["C_repeatability"]
+
+    def pct(x):
+        return f"{100 * x:.1f}%"
+
+    lines = [
+        "# Morton-path error budget (measured on trained checkpoints)",
+        "",
+        f"Produced by `evaluate/error_budget.py` on the committed demo",
+        f"checkpoints over {report['n_clouds']} demo clouds at",
+        f"{report['num_points']} points (backend: {report['backend']}).",
+        "JSON artifact: `docs/error_budget.json`.",
+        "",
+        "Modes vs the exact-parity path (`ops.flex_*` gathers + exact",
+        "kNN, the semantics of `knn_bruteforce_kernel.cc:25-72` /",
+        "`flex_conv_kernel.cc:48-68`):",
+        "",
+        "- **morton** — the SHIPPING DEFAULT (`morton_exact=True`):",
+        "  exact kNN candidate sets + slot-compacted out-of-band",
+        "  delivery; residual drift is the banded kernels' bf16 window",
+        "  rounding only.",
+        "- **approx** — legacy (`morton_exact=False`): banded kNN,",
+        "  in-band candidates only.",
+        "",
+        "## A. Banded-kNN index agreement (the approx mode's index error)",
+        "",
+        f"- neighbor agreement: mean {a['neighbor_agreement_mean']:.4f},"
+        f" worst cloud {a['neighbor_agreement_min_cloud']:.4f}",
+        f"- kNN radius rel. error: p50 {a['knn_radius_relerr_p50']:.2e},"
+        f" p99 {a['knn_radius_relerr_p99']:.3f},"
+        f" max {a['knn_radius_relerr_max']:.3f}",
+        "",
+        "## B. Model drift (same trained weights)",
+        "",
+        "Morton-vs-parity includes legitimate FPS-seed variation (the",
+        "morton forward is input-order-invariant; the gather forward's",
+        "farthest-point sampling depends on input order), so the pure",
+        "approximation error is the **approx vs morton** column",
+        "(identical seeds, only the banded-kNN candidate restriction",
+        "differs).",
+        "",
+        "| metric | morton vs parity | approx vs parity "
+        "| approx vs morton |",
+        "|---|---|---|---|",
+    ]
+    rows = [
+        ("local desc cosine p50", "local_desc_cos_p50", "{:.6f}"),
+        ("local desc cosine p01", "local_desc_cos_p01", "{:.6f}"),
+        ("local desc cosine min", "local_desc_cos_min", "{:.6f}"),
+        ("frac cos < 0.99", "local_desc_cos_frac_below_0.99", "{:.5f}"),
+        ("attention spearman mean", "attention_spearman_mean", "{:.5f}"),
+        ("keypoint overlap@512 mean", "keypoint_overlap@512_mean",
+         "{:.4f}"),
+        ("oob plan overflow (total)", "oob_plan_overflow_total", "{}"),
+    ]
+    for label, key, fmt in rows:
+        if key in bl.get("morton", {}):
+            lines.append(
+                f"| {label} | {fmt.format(bl['morton'][key])} "
+                f"| {fmt.format(bl['approx'][key])} "
+                f"| {fmt.format(bl['approx_vs_morton'][key])} |")
+    lines += [
+        "",
+        "## B/C. Global descriptor + retrieval "
+        f"({g['n_queries']} cross-sequence queries)",
+        "",
+        "| metric | parity | morton (default) | approx |",
+        "|---|---|---|---|",
+        f"| global desc cosine p50 | 1 (def) "
+        f"| {g['morton']['global_desc_cos_p50']:.6f} "
+        f"| {g['approx']['global_desc_cos_p50']:.6f} |",
+        f"| global desc cosine min | 1 (def) "
+        f"| {g['morton']['global_desc_cos_min']:.6f} "
+        f"| {g['approx']['global_desc_cos_min']:.6f} |",
+        f"| recall@1 | {pct(g['recall@1_parity'])} "
+        f"| {pct(g['morton']['recall@1'])} "
+        f"| {pct(g['approx']['recall@1'])} |",
+        f"| recall@25 | {pct(g['recall@25_parity'])} "
+        f"| {pct(g['morton']['recall@25'])} "
+        f"| {pct(g['approx']['recall@25'])} |",
+        "",
+        "Paired-bootstrap 95% CI of (mode − parity), per query:",
+        "",
+        f"- morton: recall@1 {g['morton']['recall@1_diff_vs_parity_ci95']},"
+        f" recall@25 {g['morton']['recall@25_diff_vs_parity_ci95']}",
+        f"- approx: recall@1 {g['approx']['recall@1_diff_vs_parity_ci95']},"
+        f" recall@25 {g['approx']['recall@25_diff_vs_parity_ci95']}",
+        "",
+        "## C. Keypoint repeatability@512 (partial-overlap protocol)",
+        "",
+        "| parity | morton (default) | approx |",
+        "|---|---|---|",
+        f"| {rep['repeatability@512_parity']:.4f} "
+        f"| {rep['repeatability@512_morton']:.4f} "
+        f"| {rep['repeatability@512_approx']:.4f} |",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {path}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--local_model", required=True,
@@ -315,7 +433,18 @@ def main():
     p.add_argument("--rep_clouds", type=int, default=20,
                    help="clouds for the repeatability protocol")
     p.add_argument("--json", default="/tmp/error_budget.json")
+    p.add_argument("--md", default="",
+                   help="also write a markdown summary here")
+    p.add_argument("--platform", default="",
+                   help="force a JAX platform (e.g. cpu); the ambient "
+                        "JAX_PLATFORMS env is pinned to the TPU tunnel "
+                        "by a sitecustomize that runs before this script")
     args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     rng = np.random.default_rng(0)
     files, clouds = load_clouds(args.pcdpath, args.num_points, rng)
@@ -323,7 +452,8 @@ def main():
         clouds = clouds[:args.max_clouds]
     print(f"{len(clouds)} demo clouds @ {args.num_points} pts", flush=True)
 
-    report = {"num_points": args.num_points, "n_clouds": len(clouds)}
+    report = {"num_points": args.num_points, "n_clouds": len(clouds),
+              "backend": jax.default_backend()}
 
     report["A_knn"] = knn_agreement(clouds)
     print("A (kNN):", json.dumps(report["A_knn"], indent=1), flush=True)
@@ -346,6 +476,8 @@ def main():
     with open(args.json, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {args.json}")
+    if args.md:
+        write_markdown(report, args.md)
 
 
 if __name__ == "__main__":
