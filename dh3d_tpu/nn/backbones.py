@@ -43,9 +43,22 @@ class FlexConvDilate(nn.Module):
     inband_knn: bool = False  # caller-provided knn is Morton-banded
     exact_plan: bool = False  # exact kNN + slot-compacted oob correction
     fast_grads: bool = False
+    return_cache: bool = False  # also return this level's geometry cache
 
     @nn.compact
-    def __call__(self, xyz, feat, knn_indices=None, knn_plan=None):
+    def __call__(self, xyz, feat, knn_indices=None, knn_plan=None,
+                 level_cache=None):
+        """level_cache: geometry computed by ANOTHER FlexConvDilate on the
+        SAME xyz with the same dilate/method/exact_plan (and same knn
+        count for the knn entries) — FPS selection, subsampled kNN
+        (+plan), and 3-NN interpolation are functions of xyz alone, so
+        stages that share a resolution level share them verbatim (stage2
+        and the global stage both subsample the full cloud by 8).  Keys
+        (arrays/plans only, so the cache passes through nn.remat):
+        kp_idx, knn_indices, knn_plan, interp=(dist, idx, interp_plan).
+        The static in-band flags are re-derived locally — valid because
+        producer and consumer run the same method/exact_plan routing.
+        With return_cache=True the call returns (xyz, new_feat, cache)."""
         num_point = xyz.shape[1]
         npoint = num_point // self.dilate
         banded = self.method == "banded"
@@ -54,6 +67,8 @@ class FlexConvDilate(nn.Module):
         use_banded = (banded and num_point % 256 == 0
                       and npoint % 256 == 0 and npoint >= 512)
         inband = self.inband_knn
+        lc = dict(level_cache) if level_cache else {}
+        cache = {}
 
         if self.dilate > 1:
             # under the banded method, keep the subsampled set in the
@@ -62,11 +77,17 @@ class FlexConvDilate(nn.Module):
             # FPS *selection* is unchanged — only the output order differs,
             # which is internal to this stage (features are upsampled back
             # to full resolution before leaving).
-            points_s, feat_s, _ = ops.subsample(
-                xyz, feat, npoint, sorted_order=banded)
+            points_s, feat_s, kp_idx = ops.subsample(
+                xyz, feat, npoint, kp_idx=lc.get("kp_idx"),
+                sorted_order=banded)
+            cache["kp_idx"] = kp_idx
         else:
             points_s, feat_s = xyz, feat
 
+        if knn_indices is None and lc.get("knn_indices") is not None:
+            knn_indices = lc["knn_indices"]
+            knn_plan = lc.get("knn_plan")
+            inband = use_banded and not self.exact_plan
         if knn_indices is None:
             if use_banded and self.exact_plan:
                 # exact kNN (no window restriction) + one shared
@@ -88,6 +109,8 @@ class FlexConvDilate(nn.Module):
                     window=512 if use_banded else None)
                 inband = use_banded
                 knn_plan = None
+            cache["knn_indices"] = knn_indices
+            cache["knn_plan"] = knn_plan
 
         x = feat_s
         for i, d in enumerate(self.outdims):
@@ -118,25 +141,31 @@ class FlexConvDilate(nn.Module):
 
         new_feat = x
         if self.upsample and self.dilate > 1:
-            if use_banded and self.exact_plan:
-                dist, idx = ops.three_nn(xyz, points_s)
-                interp_plan = None
-                if jax.default_backend() == "tpu":
-                    from dh3d_tpu.ops.pallas.banded_pallas import oob_plan
+            interp = lc.get("interp")
+            if interp is None:
+                if use_banded and self.exact_plan:
+                    dist, idx = ops.three_nn(xyz, points_s)
+                    interp_plan = None
+                    if jax.default_backend() == "tpu":
+                        from dh3d_tpu.ops.pallas.banded_pallas import (
+                            oob_plan,
+                        )
 
-                    interp_plan = oob_plan(idx, npoint, 256, 256)
-                weight = ops.inverse_distance_weights(dist)
-                new_feat = ops.three_interpolate(
-                    new_feat, idx, weight, method=self.method,
-                    window=256, plan=interp_plan)
-            else:
-                dist, idx = ops.three_nn(
-                    xyz, points_s,
-                    window=256 if use_banded else None)
-                weight = ops.inverse_distance_weights(dist)
-                new_feat = ops.three_interpolate(
-                    new_feat, idx, weight, method=self.method,
-                    window=256, assume_inband=use_banded)
+                        interp_plan = oob_plan(idx, npoint, 256, 256)
+                    inband_interp = False
+                else:
+                    dist, idx = ops.three_nn(
+                        xyz, points_s,
+                        window=256 if use_banded else None)
+                    interp_plan = None
+                    inband_interp = use_banded
+                interp = (dist, idx, interp_plan, inband_interp)
+                cache["interp"] = interp
+            dist, idx, interp_plan, inband_interp = interp
+            weight = ops.inverse_distance_weights(dist)
+            new_feat = ops.three_interpolate(
+                new_feat, idx, weight, method=self.method,
+                window=256, assume_inband=inband_interp, plan=interp_plan)
 
         if self.concat:
             new_feat = jnp.concatenate([new_feat, feat], axis=-1)
@@ -146,6 +175,8 @@ class FlexConvDilate(nn.Module):
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                 name="concat_conv1d",
             )(new_feat)
+        if self.return_cache:
+            return xyz, new_feat, cache
         return xyz, new_feat
 
 
@@ -161,6 +192,7 @@ class BackboneLocalDilate(nn.Module):
     inband_knn: bool = False  # knn_ind came from the Morton-banded knn
     exact_plan: bool = False  # exact kNN + slot-compacted oob correction
     fast_grads: bool = False
+    return_cache: bool = False  # also return stage2's level-geometry cache
 
     @nn.compact
     def __call__(self, points, knn_ind, knn_plan=None):
@@ -192,12 +224,18 @@ class BackboneLocalDilate(nn.Module):
         # stage 2: dilate 8, dims [128, 128], concat + 1x1
         x2 = Conv1x1(64, use_running_average=ura, bn_axis_name=axn,
                      dtype=dt, name="before_stage2_conv1d")(x1)
-        _, x2 = FlexConvDilate(
+        stage2 = FlexConvDilate(
             dilate=self.dilate2, knn=8, outdims=(128, 128), concat=True,
             add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
             dtype=dt, method=self.method, exact_plan=self.exact_plan,
-            fast_grads=self.fast_grads, name="stage2",
+            fast_grads=self.fast_grads, return_cache=self.return_cache,
+            name="stage2",
         )(points, x2)
+        cache = None
+        if self.return_cache:
+            _, x2, cache = stage2
+        else:
+            _, x2 = stage2
 
         # combine with stage-1 shortcut (`core/backbones.py:123`)
         feat = Conv1x1(128, use_running_average=ura, bn_axis_name=axn,
@@ -206,6 +244,8 @@ class BackboneLocalDilate(nn.Module):
         if self.featdim < 128:
             feat = Conv1x1(self.featdim, use_running_average=ura,
                            bn_axis_name=axn, name="final_fc")(feat)
+        if self.return_cache:
+            return points, feat, cache
         return points, feat
 
 
@@ -271,7 +311,7 @@ class GlobalBeforeAssemble(nn.Module):
     fast_grads: bool = False
 
     @nn.compact
-    def __call__(self, points, localdesc):
+    def __call__(self, points, localdesc, level_cache=None):
         if self.concat_xyz:
             localdesc = jnp.concatenate([points, localdesc], axis=-1)
         return FlexConvDilate(
@@ -282,7 +322,7 @@ class GlobalBeforeAssemble(nn.Module):
             method=self.method, exact_plan=self.exact_plan,
             fast_grads=self.fast_grads,
             name="global_before_assemble",
-        )(points, localdesc)
+        )(points, localdesc, level_cache=level_cache)
 
 
 class GlobalBeforeAssembleConv1d(nn.Module):

@@ -143,7 +143,20 @@ class DH3D(nn.Module):
         if cfg.remat:
             # trade recompute for activation memory in the backward pass
             backbone_cls = nn.remat(backbone_cls)
-        newpoints, localdesc = backbone_cls(
+        # stage2 and the global stage subsample the SAME full-resolution
+        # cloud (the backbone returns `points` unchanged); when their
+        # dilates match, the whole level geometry — FPS selection, kNN,
+        # oob plan, 3-NN interpolation — is identical and computed once
+        # (knn entries shared only when the knn counts also match:
+        # stage2 is knn8, the global stage uses cfg.knn_num).
+        share_level = bool(
+            cfg.extract_global
+            and (cfg.global_backbone or "global_before_assemble")
+            == "global_before_assemble"
+            and (cfg.gl_dilate or 8) == (cfg.dilate or 8) > 1
+            and cfg.share_level_cache is not False
+        )
+        bb_out = backbone_cls(
             featdim=cfg.featdim,
             dilate2=cfg.dilate or 8,
             use_running_average=ura or bool(cfg.freezebackbone),
@@ -153,8 +166,17 @@ class DH3D(nn.Module):
             inband_knn=inband_knn,
             exact_plan=morton_exact,
             fast_grads=bool(cfg.fast_grads),
+            return_cache=share_level,
             name="local_backbone",
         )(points, knn_inds, knn_plan=knn_plan)
+        level_cache = None
+        if share_level:
+            newpoints, localdesc, level_cache = bb_out
+            if (cfg.knn_num or 8) != 8 and level_cache:
+                level_cache = {k: v for k, v in level_cache.items()
+                               if k in ("kp_idx", "interp")}
+        else:
+            newpoints, localdesc = bb_out
         localdesc = localdesc.astype(jnp.float32)
         localdesc_l2 = l2_normalize(localdesc, axis=-1, epsilon=1e-8)
         outs["feat"] = unpermute(localdesc)
@@ -209,7 +231,7 @@ class DH3D(nn.Module):
                     exact_plan=morton_exact,
                     fast_grads=bool(cfg.fast_grads),
                     name="global_backbone",
-                )(newpoints, localdesc)
+                )(newpoints, localdesc, level_cache=level_cache)
             else:
                 gpoints, forglobal = backbones.GlobalBeforeAssembleConv1d(
                     gl_dims=tuple(cfg.gl_dims or (256,)),

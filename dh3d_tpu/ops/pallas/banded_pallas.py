@@ -1204,13 +1204,24 @@ def oob_plan(nbh, M, tile=256, window=512, cap=None, we=640):
       Tile t's entries live at slots [t*we, t*we + we): window starts are
       static and the total capacity is NT*we (per-tile overflow is
       counted, not dropped silently).
-    * Transpose list (VJP delivery to source rows): one [B, NT*we] two-
+    * Transpose list (VJP delivery to source rows): one [B, cap] two-
       operand sort by source row.  Its window starts/overflow come from
       COUNTS alone (`_count_windows`), so a forward-only graph (eval,
       bench fwd) dead-code-eliminates the transpose sort entirely.
-    * `cap` is accepted for API compatibility but derived as NT*we.
+    * SECOND-STAGE global compaction: the per-tile lists concatenate to a
+      [B, NT*we] array whose valid entries are already ascending within
+      each tile segment, so one more short sort compacts them to `cap`
+      slots globally.  This matters because every planned op's XLA-side
+      correction arrays (feature/weight row gathers, the [B, cap, P*C]
+      contribution tensor) scale with cap: the naive NT*we capacity
+      (20480 at [8192, K=8]) is ~3x the real out-of-band population
+      (measured ceiling 6234 entries on the demo clouds, 2477 on the
+      interpolation level), and shrinking it cuts each planned op's
+      correction cost proportionally.  Default cap = N*K/8 (512-aligned;
+      >=1.3x the demo-cloud ceiling); per-tile window starts into the
+      compact list come from counting, and entries beyond any static
+      limit are counted in plan.overflow — monitored, never silent.
     """
-    del cap
     B, N, K = nbh.shape
     if N % tile:
         raise ValueError(f"oob_plan: N={N} not divisible by tile={tile}")
@@ -1218,7 +1229,10 @@ def oob_plan(nbh, M, tile=256, window=512, cap=None, we=640):
     seg = tile * K
     we = -(-we // _ALIGN) * _ALIGN  # window starts must stay 128-aligned
     we = min(we, -(-seg // _ALIGN) * _ALIGN)  # no wider than one segment
-    cap = NT * we
+    full = NT * we
+    if cap is None:
+        cap = max(we, -(-(N * K // 8) // 512) * 512)
+    cap = min(-(-cap // _ALIGN) * _ALIGN, full)
 
     starts = _starts_host(N, M, tile, window)
     oob = _oob_mask(nbh, starts, window).reshape(B, NT, seg)
@@ -1226,20 +1240,39 @@ def oob_plan(nbh, M, tile=256, window=512, cap=None, we=640):
     key = jnp.where(oob, loc[None, None], jnp.int32(seg))
     e_loc = jax.lax.sort(key.reshape(B * NT, seg),
                          dimension=1)[:, :we].reshape(B, NT, we)
-    valid = (e_loc < seg).reshape(B, cap)
+    valid1 = e_loc < seg
     base = (jnp.arange(NT, dtype=jnp.int32) * seg)[None, :, None]
-    e = jnp.where(valid, (e_loc + base).reshape(B, cap), 0)
-    qrow = jnp.where(valid, e // K, _SENT)
+    e1 = e_loc + base  # global entry ids, ascending within each tile run
+    cnt = jnp.sum(oob, axis=2).astype(jnp.int32)  # [B, NT]
+    unc1 = jnp.sum(jnp.maximum(cnt - we, 0), axis=1)
+
+    if cap < full:
+        # global compaction: tile runs are disjoint ascending ranges, so
+        # one sort with invalid slots pushed to the end yields the fully
+        # compacted ascending entry list
+        key2 = jnp.where(valid1, e1, _SENT).reshape(B, full)
+        e2 = jax.lax.sort(key2, dimension=1)[:, :cap]
+        valid = e2 < _SENT
+        e = jnp.where(valid, e2, 0)
+        n_valid1 = jnp.sum(valid1.reshape(B, full), axis=1,
+                           dtype=jnp.int32)
+        unc_cap = n_valid1 - jnp.sum(valid, axis=1, dtype=jnp.int32)
+        unc1 = unc1 + unc_cap
+        qrow = jnp.where(valid, e // K, _SENT)
+        win_start, unc_win = _count_windows(e // K, valid, N, tile, cap,
+                                            we)
+        unc1 = unc1 + unc_win
+    else:
+        valid = valid1.reshape(B, cap)
+        e = jnp.where(valid, e1.reshape(B, cap), 0)
+        qrow = jnp.where(valid, e // K, _SENT)
+        # static per-tile window starts (t*we, already _ALIGN-aligned)
+        win_start = jnp.broadcast_to(
+            (jnp.arange(NT, dtype=jnp.int32) * we)[None], (B, NT))
     src = jnp.where(
         valid,
         jnp.take_along_axis(nbh.reshape(B, N * K), e, axis=1), 0
     ).astype(jnp.int32)
-
-    # static per-tile window starts (t*we, already _ALIGN-aligned)
-    win_start = jnp.broadcast_to(
-        (jnp.arange(NT, dtype=jnp.int32) * we)[None], (B, NT))
-    cnt = jnp.sum(oob, axis=2).astype(jnp.int32)  # [B, NT]
-    unc1 = jnp.sum(jnp.maximum(cnt - we, 0), axis=1)
 
     # transpose ordering: sorted by source row; dead in fwd-only graphs
     skey = jnp.where(valid, src, _SENT)

@@ -279,3 +279,27 @@ def test_morton_presorted_matches_ingraph_sort(rng):
     np.testing.assert_allclose(
         np.asarray(out_sort["local_desc"]), np.asarray(out_pre["local_desc"]),
         rtol=1e-5, atol=1e-5)
+
+
+def test_shared_level_cache_parity():
+    """The stage2<->global level-geometry cache is semantics-preserving:
+    sharing FPS/kNN/3-NN across the two dilate-8 stages must reproduce
+    the unshared forward bit-for-bit (same FPS selection, same gathers;
+    `core/backbones.py:104-127,178-186` compute them independently)."""
+    cfg = tiny(cfglib.get_config("global_config"))
+    cfg.sampled_kpnum = -1
+    model = DH3D(cfg)
+    rng = np.random.RandomState(3)
+    pts = jnp.asarray(rng.randn(2, N, 3).astype(np.float32) * 10)
+    variables = model.init(jax.random.PRNGKey(0), pts, train=False)
+
+    cfg_off = cfglib.get_config("global_config")
+    for k, v in dict(cfg).items():
+        cfg_off[k] = v
+    cfg_off.share_level_cache = False
+
+    out_on = model.apply(variables, pts, train=False)
+    out_off = DH3D(cfg_off).apply(variables, pts, train=False)
+    for k in ("local_desc", "global_desc", "feat"):
+        a, b = np.asarray(out_on[k]), np.asarray(out_off[k])
+        assert np.array_equal(a, b), f"{k} differs with level cache"
