@@ -56,8 +56,9 @@ class FlexConvDilate(nn.Module):
         and the global stage both subsample the full cloud by 8).  Keys
         (arrays/plans only, so the cache passes through nn.remat):
         kp_idx, knn_indices, knn_plan, interp=(dist, idx, interp_plan).
-        The static in-band flags are re-derived locally — valid because
-        producer and consumer run the same method/exact_plan routing.
+        Static values (in-band flags, window widths) are re-derived
+        locally — valid because producer and consumer run the same
+        method/exact_plan routing at the same npoint.
         With return_cache=True the call returns (xyz, new_feat, cache)."""
         num_point = xyz.shape[1]
         npoint = num_point // self.dilate
@@ -66,6 +67,17 @@ class FlexConvDilate(nn.Module):
         # here must match ops.knn_bruteforce(window=...) exactly
         use_banded = (banded and num_point % 256 == 0
                       and npoint % 256 == 0 and npoint >= 512)
+        # full-table window: the whole key table rides in one VMEM window
+        # (<=2048 rows: <=1 MB bf16 at C=256), so EVERY index is
+        # structurally in-band — banded ops are exact with no plan and no
+        # correction.  At the model's subsampled levels (N/8 = 1024-2048)
+        # this replaces the slot-compacted correction entirely; measured
+        # on the 100-cloud demo set, the old windowed interp plan
+        # (window=256, cap=N*K/8) actually OVERFLOWED on some clouds
+        # (per-tile oob saturating 768 of we=640), which full-table
+        # delivery makes impossible by construction.
+        full_table = use_banded and npoint <= 2048
+        win = npoint if full_table else 512
         inband = self.inband_knn
         lc = dict(level_cache) if level_cache else {}
         cache = {}
@@ -87,10 +99,11 @@ class FlexConvDilate(nn.Module):
         if knn_indices is None and lc.get("knn_indices") is not None:
             knn_indices = lc["knn_indices"]
             knn_plan = lc.get("knn_plan")
-            inband = use_banded and not self.exact_plan
+            inband = use_banded and (full_table or not self.exact_plan)
         if knn_indices is None:
             if use_banded and self.exact_plan:
-                # exact kNN (no window restriction) + one shared
+                # exact kNN (no window restriction); full-table levels
+                # are exact with no plan, wider levels add one shared
                 # out-of-band plan for every banded op on this level —
                 # exact neighbor routing, the shipping Morton default.
                 # The plan itself is TPU-only (the banded kernels fall
@@ -98,15 +111,15 @@ class FlexConvDilate(nn.Module):
                 # weight on other backends).
                 knn_indices, _ = ops.knn_bruteforce(points_s, self.knn,
                                                     mode="fast")
-                if jax.default_backend() == "tpu":
+                inband = full_table
+                if not full_table and jax.default_backend() == "tpu":
                     from dh3d_tpu.ops.pallas.banded_pallas import oob_plan
 
                     knn_plan = oob_plan(knn_indices, npoint, 256, 512)
-                inband = False
             else:
                 knn_indices, _ = ops.knn_bruteforce(
                     points_s, self.knn, mode="fast",
-                    window=512 if use_banded else None)
+                    window=win if use_banded else None)
                 inband = use_banded
                 knn_plan = None
             cache["knn_indices"] = knn_indices
@@ -118,12 +131,13 @@ class FlexConvDilate(nn.Module):
                 d, self.use_running_average, self.bn_axis_name,
                 dtype=self.dtype, method=self.method,
                 assume_inband=inband, fast_grads=self.fast_grads,
-                name=f"flexconv_{i}",
+                window=win, name=f"flexconv_{i}",
             )(x, points_s, knn_indices, plan=knn_plan)
 
         if self.add_se == "max_pool":
             x_pool, _ = ops.flex_pool(x, knn_indices, method=self.method,
-                                      assume_inband=inband, plan=knn_plan)
+                                      window=win, assume_inband=inband,
+                                      plan=knn_plan)
             x = SEResBottleneck(
                 self.outdims[-1], self.use_running_average,
                 self.bn_axis_name, name="se",
@@ -132,7 +146,7 @@ class FlexConvDilate(nn.Module):
             # flex_avg neighborhood sum scaled by 1/knn
             # (`core/backbones.py:81-83`)
             x_pool = ops.flex_avg(x, knn_indices, method=self.method,
-                                  assume_inband=inband,
+                                  window=win, assume_inband=inband,
                                   plan=knn_plan) * (1.0 / self.knn)
             x = SEResBottleneck(
                 self.outdims[-1], self.use_running_average,
@@ -141,9 +155,17 @@ class FlexConvDilate(nn.Module):
 
         new_feat = x
         if self.upsample and self.dilate > 1:
+            # upsample window: full table when the key level fits (exact,
+            # no plan); otherwise 512 for the planned exact path (the
+            # 256 window's oob population overflows any practical plan
+            # capacity on real clouds) and 256 for the approximate one
+            iwin = npoint if full_table else (
+                512 if self.exact_plan else 256)
+            inband_interp = use_banded and (full_table
+                                            or not self.exact_plan)
             interp = lc.get("interp")
             if interp is None:
-                if use_banded and self.exact_plan:
+                if use_banded and self.exact_plan and not full_table:
                     dist, idx = ops.three_nn(xyz, points_s)
                     interp_plan = None
                     if jax.default_backend() == "tpu":
@@ -151,21 +173,22 @@ class FlexConvDilate(nn.Module):
                             oob_plan,
                         )
 
-                        interp_plan = oob_plan(idx, npoint, 256, 256)
-                    inband_interp = False
+                        interp_plan = oob_plan(idx, npoint, 256, iwin)
                 else:
+                    # full-table exact_plan levels: three_nn with the
+                    # whole table as the window IS exact 3-NN
                     dist, idx = ops.three_nn(
                         xyz, points_s,
-                        window=256 if use_banded else None)
+                        window=iwin if use_banded else None)
                     interp_plan = None
-                    inband_interp = use_banded
-                interp = (dist, idx, interp_plan, inband_interp)
+                interp = (dist, idx, interp_plan)
                 cache["interp"] = interp
-            dist, idx, interp_plan, inband_interp = interp
+            dist, idx, interp_plan = interp
             weight = ops.inverse_distance_weights(dist)
             new_feat = ops.three_interpolate(
                 new_feat, idx, weight, method=self.method,
-                window=256, assume_inband=inband_interp, plan=interp_plan)
+                window=iwin, assume_inband=inband_interp,
+                plan=interp_plan)
 
         if self.concat:
             new_feat = jnp.concatenate([new_feat, feat], axis=-1)

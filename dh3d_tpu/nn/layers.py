@@ -68,6 +68,7 @@ class FlexConv(nn.Module):
     method: str = "gather"
     assume_inband: bool = False
     fast_grads: bool = False  # single-plane bf16 moments backward
+    window: int = 512  # banded kernel key window (window == M: full table)
 
     @nn.compact
     def __call__(self, feat, pos, nbh, plan=None):
@@ -87,7 +88,7 @@ class FlexConv(nn.Module):
             theta = theta.astype(self.dtype)
             pos_bias = pos_bias.astype(self.dtype)
         y = ops.flex_conv(feat, pos, nbh, theta, pos_bias,
-                          method=self.method,
+                          method=self.method, window=self.window,
                           assume_inband=self.assume_inband,
                           bwd_lo=not self.fast_grads, plan=plan)
         if self.use_feature_bias:
@@ -109,12 +110,13 @@ class FlexConvBN(nn.Module):
     method: str = "gather"
     assume_inband: bool = False
     fast_grads: bool = False
+    window: int = 512
 
     @nn.compact
     def __call__(self, feat, pos, nbh, plan=None):
         x = FlexConv(self.features, dtype=self.dtype, method=self.method,
                      assume_inband=self.assume_inband,
-                     fast_grads=self.fast_grads,
+                     fast_grads=self.fast_grads, window=self.window,
                      name="flexconv")(feat, pos, nbh, plan=plan)
         x = BatchNorm(
             self.use_running_average, axis_name=self.bn_axis_name, name="norm"
@@ -129,6 +131,7 @@ class ConvPointset(nn.Module):
     features: int
     method: str = "gather"
     assume_inband: bool = False
+    window: int = 512
 
     @nn.compact
     def __call__(self, feat, nbh, plan=None):
@@ -138,7 +141,7 @@ class ConvPointset(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return ops.conv_pointset(feat, nbh, theta, bias,
-                                 method=self.method,
+                                 method=self.method, window=self.window,
                                  assume_inband=self.assume_inband,
                                  plan=plan)
 
@@ -152,11 +155,13 @@ class ConvPointsetBN(nn.Module):
     dtype: Optional[object] = None
     method: str = "gather"
     assume_inband: bool = False
+    window: int = 512
 
     @nn.compact
     def __call__(self, feat, nbh, plan=None):
         x = ConvPointset(self.features, method=self.method,
                          assume_inband=self.assume_inband,
+                         window=self.window,
                          name="conv")(feat, nbh, plan=plan)
         x = BatchNorm(
             self.use_running_average, axis_name=self.bn_axis_name, name="norm"
