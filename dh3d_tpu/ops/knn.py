@@ -96,7 +96,8 @@ def knn_bruteforce(positions, k, chunk=None, impl="auto", mode="exact",
                                  packed=(mode == "fast"))
         else:
             idx, d2 = knn_pallas(positions, positions, k,
-                                 packed=(mode == "fast"))
+                                 packed=(mode == "fast"),
+                                 self_query=True)
         return idx, jnp.sqrt(d2)
     return _knn_xla(positions, k, chunk)
 

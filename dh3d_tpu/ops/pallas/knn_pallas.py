@@ -31,47 +31,73 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _knn_kernel_packed(q_ref, keys_ref, idx_ref, dist_ref, *, k, idx_bits):
+def _knn_kernel_packed(q_ref, qrow_ref, keys_ref, idx_ref, dist_ref, *, k,
+                       idx_bits, self_query):
     """Fast variant: value and index packed into one int32 key so each
     extraction is a single min-reduction.  Positive-float bits are
     order-preserving, so clearing the low `idx_bits` mantissa bits and
     packing the lane index there keeps ordering except for distances equal
     to within ~2^-(23-idx_bits) relative (ties then break to the lowest
     index, like the exact kernel).  Distances come back truncated — use
-    where only neighbor INDICES matter (the DH3D graph's knn calls)."""
-    tq = q_ref.shape[2]
+    where only neighbor INDICES matter (the DH3D graph's knn calls).
+
+    Two speed-of-light refinements over the first version (which built d2
+    with 3 broadcast-FMA VPU passes and extracted with a 3-op
+    compare/select/min per pass):
+
+    * d2 comes from the matmul identity |q|^2 - 2 q.k + |k|^2 — the
+      contraction rides the (otherwise idle) MXU, replacing 6 VPU
+      element-ops with 2 (broadcast add + fma).  The identity's rounding
+      (~ulp(|q|^2) absolute) is well inside this kernel's existing
+      truncation tolerance, but it does NOT preserve the exact-0 self
+      distance the reference guarantees (`knn_bruteforce_kernel.cc:65-68`),
+      so for self-kNN the query's own lane is pinned structurally: its
+      packed key is forced into the zero-distance bucket, where the
+      lowest-index tie rule puts it at slot 0 (exactly like the VPU
+      kernel on true duplicate points).  Negative rounding residue is
+      clamped so float-bit ordering stays valid.
+    * Each extraction pass is ONE subtract + ONE unsigned min: packed keys
+      are unique and non-negative, so "strictly greater than the previous
+      winner" is equivalent to unsigned wraparound distance
+      (key - prev - 1): entries <= prev wrap to the top of the uint32
+      range and can never win.  prev starts at uint32(-1), which makes
+      pass 1 the plain minimum with the same code.
+    """
+    tq = qrow_ref.shape[1]
     n = keys_ref.shape[2]
 
-    d2 = jnp.zeros((tq, n), jnp.float32)
-    for d in range(3):
-        qcol = q_ref[0, d, :][:, None]
-        krow = keys_ref[0, d, :][None, :]
-        diff = qcol - krow
-        d2 = d2 + diff * diff
+    kt = keys_ref[0]  # [3, N]
+    q = qrow_ref[0]  # [TQ, 3]
+    qk = jax.lax.dot_general(
+        q, kt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    q2 = jnp.sum(q * q, axis=1)[:, None]  # [TQ, 1]
+    k2 = jnp.sum(kt * kt, axis=0)[None, :]  # [1, N]
+    d2 = jnp.maximum(q2 + k2 - 2.0 * qk, 0.0)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
     mask = jnp.int32(~((1 << idx_bits) - 1))
     bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
     keys = jax.lax.bitwise_or(jax.lax.bitwise_and(bits, mask), lanes)
+    if self_query:
+        i = pl.program_id(1)
+        rows = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, n), 0)
+        keys = jnp.where(lanes == rows, lanes, keys)
 
-    # Fused extraction: packed keys are UNIQUE (index in the low bits), so
-    # "mask the previous winner" is equivalent to "strictly greater than
-    # the previous minimum".  Folding that compare into the next pass's
-    # min-reduction keeps `keys` read-only — no 4*TQ*N-byte masked copy is
-    # materialized per extraction (halves VMEM traffic per pass).
+    keysu = jax.lax.bitcast_convert_type(keys, jnp.uint32)
+    prevu = jnp.full((tq,), jnp.uint32(0xFFFFFFFF))
     idxs, dists = [], []
-    prev = None
     for _ in range(k):
-        cand = keys if prev is None else jnp.where(
-            keys > prev[:, None], keys, jnp.int32(0x7FFFFFFF))
-        mk = jnp.min(cand, axis=1)  # one reduction gives value AND index
+        rel = keysu - prevu[:, None] - jnp.uint32(1)
+        prevu = jnp.min(rel, axis=1) + prevu + jnp.uint32(1)
+        mk = jax.lax.bitcast_convert_type(prevu, jnp.int32)
         amin = jax.lax.bitwise_and(mk, jnp.int32((1 << idx_bits) - 1))
         val = jax.lax.bitcast_convert_type(
             jax.lax.bitwise_and(mk, mask), jnp.float32
         )
         idxs.append(amin)
         dists.append(val)
-        prev = mk
 
     idx_ref[0] = jnp.stack(idxs, axis=1)
     dist_ref[0] = jnp.stack(dists, axis=1)
@@ -256,7 +282,8 @@ def _knn_kernel_slab(q_ref, keys_ref, vals_ref, idx_ref, *, k, slab):
     idx_ref[0, 0] = jnp.stack(idxs, axis=1)
 
 
-def knn_pallas(query, keys, k, tile_q=256, interpret=False, packed=False):
+def knn_pallas(query, keys, k, tile_q=256, interpret=False, packed=False,
+               self_query=False):
     """Exact kNN of `keys` for each `query` point (cross- or self-cloud).
 
     query: [B, M, 3] float32; keys: [B, N, 3] float32.
@@ -267,6 +294,11 @@ def knn_pallas(query, keys, k, tile_q=256, interpret=False, packed=False):
     distance tile stays within the VMEM budget; large k or N beyond the
     budget at TQ=128 routes to the slab-streamed kernel (Mosaic cannot
     lower query tiles narrower than one 128-lane vreg).
+
+    self_query=True declares query IS keys (row m queries lane m): the
+    packed kernel then pins each query's own lane into the zero-distance
+    bucket, preserving the reference's self-at-slot-0 contract under its
+    MXU distance build (`knn_bruteforce_kernel.cc:65-68`).
     """
     query = query.astype(jnp.float32)
     keys = keys.astype(jnp.float32)
@@ -310,7 +342,7 @@ def knn_pallas(query, keys, k, tile_q=256, interpret=False, packed=False):
                                     interpret)
     else:
         idx, d2 = _knn_pallas_call(query, keys, k, tile_q, interpret,
-                                   packed)
+                                   packed, self_query)
     if m_pad:
         idx, d2 = idx[:, :M], d2[:, :M]
     return idx, d2
@@ -363,9 +395,11 @@ def _knn_slabbed_call(query, keys, k, tile_q, slab, interpret):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_q", "interpret", "packed")
+    jax.jit,
+    static_argnames=("k", "tile_q", "interpret", "packed", "self_query"),
 )
-def _knn_pallas_call(query, keys, k, tile_q, interpret, packed=False):
+def _knn_pallas_call(query, keys, k, tile_q, interpret, packed=False,
+                     self_query=False):
     B, M, _ = query.shape
     N = keys.shape[1]
     grid = (B, M // tile_q)
@@ -376,9 +410,35 @@ def _knn_pallas_call(query, keys, k, tile_q, interpret, packed=False):
     if packed:
         idx_bits = max(13, (N - 1).bit_length())
         kernel = functools.partial(_knn_kernel_packed, k=k,
-                                   idx_bits=idx_bits)
-    else:
-        kernel = functools.partial(_knn_kernel, k=k)
+                                   idx_bits=idx_bits,
+                                   self_query=self_query)
+        # row-major query tile rides along as the MXU's LHS operand
+        idx, d2 = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 3, tile_q), lambda b, i: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_q, 3), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, N), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_q, k), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, M, k), jnp.int32),
+                jax.ShapeDtypeStruct((B, M, k), jnp.float32),
+            ],
+            interpret=interpret,
+        )(q_t, query, keys_t)
+        return idx, d2
+
+    kernel = functools.partial(_knn_kernel, k=k)
     idx, d2 = pl.pallas_call(
         kernel,
         grid=grid,

@@ -138,20 +138,26 @@ def knn_agreement(clouds, k=8, window=512):
 
 def local_drift(cfg, variables, clouds, topk=512):
     """B (local model): per-point descriptor cosine + attention agreement,
-    per morton mode vs parity."""
+    per morton mode vs parity.
+
+    Every mode sees the SAME Morton-presorted input: farthest-point
+    sampling is input-order-dependent (a property the reference's CUDA FPS
+    shares, `tf_ops/sampling/tf_sampling_g.cu`), so feeding parity the
+    unsorted cloud while morton modes sort internally would measure a
+    legitimate-but-irrelevant keypoint-subset divergence instead of kernel
+    semantics.  Presorting the host copy makes the morton forward's
+    in-graph sort the identity — all modes run FPS on the same order and
+    the residual morton-vs-parity drift is purely the banded kernels'
+    numerics (bf16 window rounding + f32 near-tie kNN flips)."""
+    from dh3d_tpu.data.io import morton_sort_np
+
     fwds = forward_modes(cfg, variables, False, clouds[0].shape[0])
 
-    # Reference frames: "parity" differs from every morton mode by the
-    # FPS seeding too (Z-sorted input reorders the farthest-point-sample
-    # trajectory — the morton forward is input-order-invariant, the
-    # gather forward is not), so morton-vs-parity bounds approximation
-    # PLUS legitimate seed variation.  "approx vs morton" isolates the
-    # pure banded-kNN approximation (identical FPS seeds).
     acc = {m: {"cos": [], "rank": [], "kp": [], "oob": 0}
            for m, mo, _ in MODES if mo}
     acc["approx_vs_morton"] = {"cos": [], "rank": [], "kp": [], "oob": 0}
     for pts in clouds:
-        batch = pts[None]
+        batch = morton_sort_np(pts)[None]
         outs = {m: {k: np.asarray(v) for k, v in fwds[m](batch).items()}
                 for m, _, _ in MODES}
         for mode in acc:
@@ -439,7 +445,41 @@ def main():
                    help="force a JAX platform (e.g. cpu); the ambient "
                         "JAX_PLATFORMS env is pinned to the TPU tunnel "
                         "by a sitecustomize that runs before this script")
+    p.add_argument("--stage", default="all",
+                   choices=["all", "A", "B", "G", "R"],
+                   help="'all' runs each measurement stage in a FRESH "
+                        "subprocess: the axon backend accumulates state "
+                        "across big compiled programs in one process and "
+                        "eventually fails execution with INVALID_ARGUMENT "
+                        "(same pathology bench.py isolates per workload)")
     args = p.parse_args()
+
+    if args.stage == "all":
+        import subprocess
+
+        report = {}
+        for stage in ("A", "B", "G", "R"):
+            part = args.json + f".{stage}"
+            cmd = [sys.executable, "-u", os.path.abspath(__file__),
+                   "--stage", stage, "--json", part,
+                   "--local_model", args.local_model,
+                   "--global_model", args.global_model,
+                   "--pcdpath", args.pcdpath,
+                   "--num_points", str(args.num_points),
+                   "--max_clouds", str(args.max_clouds),
+                   "--rep_clouds", str(args.rep_clouds)]
+            if args.platform:
+                cmd += ["--platform", args.platform]
+            subprocess.run(cmd, check=True)
+            with open(part) as f:
+                report.update(json.load(f))
+            os.unlink(part)
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.json}")
+        if args.md:
+            write_markdown(report, args.md)
+        return
 
     import jax
 
@@ -455,29 +495,31 @@ def main():
     report = {"num_points": args.num_points, "n_clouds": len(clouds),
               "backend": jax.default_backend()}
 
-    report["A_knn"] = knn_agreement(clouds)
-    print("A (kNN):", json.dumps(report["A_knn"], indent=1), flush=True)
-
-    lcfg, lvars = load_variables(args.local_model)
-    report["B_local"] = local_drift(lcfg, lvars, clouds)
-    print("B (local):", json.dumps(report["B_local"], indent=1), flush=True)
-
-    gcfg, gvars = load_variables(args.global_model)
-    report["BC_global"] = global_drift_and_retrieval(
-        gcfg, gvars, args.pcdpath, args.num_points)
-    print("B+C (global/retrieval):",
-          json.dumps(report["BC_global"], indent=1), flush=True)
-
-    report["C_repeatability"] = repeatability_parity(
-        lcfg, lvars, clouds[:args.rep_clouds], args.num_points)
-    print("C (repeatability):",
-          json.dumps(report["C_repeatability"], indent=1), flush=True)
+    if args.stage == "A":
+        report["A_knn"] = knn_agreement(clouds)
+        print("A (kNN):", json.dumps(report["A_knn"], indent=1),
+              flush=True)
+    elif args.stage == "B":
+        lcfg, lvars = load_variables(args.local_model)
+        report["B_local"] = local_drift(lcfg, lvars, clouds)
+        print("B (local):", json.dumps(report["B_local"], indent=1),
+              flush=True)
+    elif args.stage == "G":
+        gcfg, gvars = load_variables(args.global_model)
+        report["BC_global"] = global_drift_and_retrieval(
+            gcfg, gvars, args.pcdpath, args.num_points)
+        print("B+C (global/retrieval):",
+              json.dumps(report["BC_global"], indent=1), flush=True)
+    elif args.stage == "R":
+        lcfg, lvars = load_variables(args.local_model)
+        report["C_repeatability"] = repeatability_parity(
+            lcfg, lvars, clouds[:args.rep_clouds], args.num_points)
+        print("C (repeatability):",
+              json.dumps(report["C_repeatability"], indent=1), flush=True)
 
     with open(args.json, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {args.json}")
-    if args.md:
-        write_markdown(report, args.md)
 
 
 if __name__ == "__main__":
