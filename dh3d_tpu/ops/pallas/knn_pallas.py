@@ -47,20 +47,29 @@ def _knn_kernel_packed(q_ref, qrow_ref, keys_ref, idx_ref, dist_ref, *, k,
 
     * d2 comes from the matmul identity |q|^2 - 2 q.k + |k|^2 — the
       contraction rides the (otherwise idle) MXU, replacing 6 VPU
-      element-ops with 2 (broadcast add + fma).  The identity's rounding
-      (~ulp(|q|^2) absolute) is well inside this kernel's existing
-      truncation tolerance, but it does NOT preserve the exact-0 self
-      distance the reference guarantees (`knn_bruteforce_kernel.cc:65-68`),
-      so for self-kNN the query's own lane is pinned structurally: its
-      packed key is forced into the zero-distance bucket, where the
-      lowest-index tie rule puts it at slot 0 (exactly like the VPU
-      kernel on true duplicate points).  Negative rounding residue is
-      clamped so float-bit ordering stays valid.
-    * Each extraction pass is ONE subtract + ONE unsigned min: packed keys
-      are unique and non-negative, so "strictly greater than the previous
-      winner" is equivalent to unsigned wraparound distance
-      (key - prev - 1): entries <= prev wrap to the top of the uint32
-      range and can never win.  prev starts at uint32(-1), which makes
+      element-ops with 2 (broadcast add + fma).  Both operands are
+      centered on the key tile's centroid first (d2 is translation-
+      invariant): without centering the identity's absolute error is
+      ~ulp(|q|^2), which for world/UTM-frame clouds (|q| ~ 1e2-1e3)
+      exceeds real nearest-neighbor gaps; centered, the error scales
+      with the cloud's local extent like the reference's direct
+      (q-k)^2 build.  The identity still does NOT preserve the exact-0
+      self distance the reference guarantees
+      (`knn_bruteforce_kernel.cc:65-68`), so for self-kNN the query's
+      own lane is pinned structurally: its packed key is forced into
+      the zero-distance bucket, where the lowest-index tie rule puts it
+      at slot 0 (exactly like the VPU kernel on true duplicate points).
+      Negative rounding residue is clamped so float-bit ordering stays
+      valid.
+    * Each extraction pass is ONE subtract + ONE wraparound min: packed
+      keys are unique and non-negative, so "strictly greater than the
+      previous winner" is equivalent to unsigned wraparound distance
+      (key - prev - 1): entries <= prev wrap to the top of the unsigned
+      range and can never win.  Mosaic cannot lower unsigned-integer
+      reductions, so the min runs in int32 on sign-bit-biased values
+      (x ^ INT32_MIN is the order-isomorphic map uint32 -> int32);
+      two's-complement wrapping makes the subtract itself dtype-
+      agnostic.  prev starts at -1 (unsigned 0xFFFFFFFF), which makes
       pass 1 the plain minimum with the same code.
     """
     tq = qrow_ref.shape[1]
@@ -68,6 +77,12 @@ def _knn_kernel_packed(q_ref, qrow_ref, keys_ref, idx_ref, dist_ref, *, k,
 
     kt = keys_ref[0]  # [3, N]
     q = qrow_ref[0]  # [TQ, 3]
+    # center on key 0 (not the mean: key padding appends 1e30 sentinel
+    # rows that would poison a mean; any in-cloud point serves — see
+    # docstring, d2 is translation-invariant)
+    c = kt[:, 0]  # [3]
+    kt = kt - c[:, None]
+    q = q - c[None, :]
     qk = jax.lax.dot_general(
         q, kt, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -85,16 +100,19 @@ def _knn_kernel_packed(q_ref, qrow_ref, keys_ref, idx_ref, dist_ref, *, k,
         rows = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, n), 0)
         keys = jnp.where(lanes == rows, lanes, keys)
 
-    keysu = jax.lax.bitcast_convert_type(keys, jnp.uint32)
-    prevu = jnp.full((tq,), jnp.uint32(0xFFFFFFFF))
+    sign = jnp.int32(-0x80000000)
+    prev = jnp.full((tq,), jnp.int32(-1))  # unsigned 0xFFFFFFFF
     idxs, dists = [], []
     for _ in range(k):
-        rel = keysu - prevu[:, None] - jnp.uint32(1)
-        prevu = jnp.min(rel, axis=1) + prevu + jnp.uint32(1)
-        mk = jax.lax.bitcast_convert_type(prevu, jnp.int32)
-        amin = jax.lax.bitwise_and(mk, jnp.int32((1 << idx_bits) - 1))
+        # unsigned (key - prev - 1), computed with wrapping int32 ops and
+        # minimized through the sign-bit bias (uint32 order == int32 order
+        # after x ^ INT32_MIN); Mosaic has no unsigned reductions
+        rel = jax.lax.bitwise_xor(keys - prev[:, None] - 1, sign)
+        prev = (jax.lax.bitwise_xor(jnp.min(rel, axis=1), sign)
+                + prev + 1)
+        amin = jax.lax.bitwise_and(prev, jnp.int32((1 << idx_bits) - 1))
         val = jax.lax.bitcast_convert_type(
-            jax.lax.bitwise_and(mk, mask), jnp.float32
+            jax.lax.bitwise_and(prev, mask), jnp.float32
         )
         idxs.append(amin)
         dists.append(val)
