@@ -48,14 +48,25 @@ def _chain_time(fn, state0, iters):
     return dt, val
 
 
-def _bench_clouds(B, N):
-    """Real Oxford demo clouds when available (the Morton fast path's
-    banding only shows its true in-band fraction on real geometry);
-    synthetic gaussians otherwise."""
-    import glob
+_BENCH_INPUT_CLASS = "synthetic"  # set by _bench_clouds; reported in JSON
 
+
+def _bench_clouds(B, N):
+    """Real Oxford demo clouds (the Morton fast path's banding only shows
+    its true in-band fraction on real geometry), read HERMETICALLY from the
+    reference's committed demo set — no machine state like /tmp/demo_train.
+    Synthetic gaussians only if the reference tree is absent; the input
+    class used is reported in the bench JSON (`input_class`) and on stderr
+    so a synthetic run can never masquerade as a real-cloud number."""
+    import glob
+    import sys
+
+    global _BENCH_INPUT_CLASS
     rng = np.random.RandomState(0)
-    files = sorted(glob.glob("/tmp/demo_train/*/*.bin"))
+    files = sorted(glob.glob(
+        "/root/reference/evaluate/global_eval/demo_data/*/*.bin"))
+    if len(files) < B:  # fallback: prior rounds' generated training mirror
+        files = sorted(glob.glob("/tmp/demo_train/*/*.bin"))
     if len(files) >= B:
         from dh3d_tpu.data.io import get_fixednum_pcd, load_single_pcfile
 
@@ -66,7 +77,14 @@ def _bench_clouds(B, N):
                                      need_downsample=False,
                                      sortby_dis=False, rng=rng)
             clouds.append(pc)
+        _BENCH_INPUT_CLASS = "oxford_demo"
+        print(f"# bench input: {len(files[:B])} Oxford demo clouds from "
+              f"{files[0].rsplit('/', 2)[0]}", file=sys.stderr, flush=True)
         return np.stack(clouds).astype(np.float32)
+    _BENCH_INPUT_CLASS = "synthetic"
+    print("# bench input: SYNTHETIC gaussians (reference demo_data absent)"
+          " — Morton band statistics differ from real clouds",
+          file=sys.stderr, flush=True)
     return rng.randn(B, N, 3).astype(np.float32) * 30.0
 
 

@@ -94,6 +94,12 @@ def basic_config():
         # input clouds (and any sample/knn indices) are already Z-order
         # sorted by the loader; skip the in-graph sort (training only)
         morton_presorted=False,
+        # multiplier on the out-of-band plan capacities (per-tile window
+        # AND global cap; banded_pallas.py:oob_plan).  Raise when the
+        # oob_overflow invariant fires (train/trainer.py
+        # check_oob_overflow) on data denser than the demo-cloud-tuned
+        # defaults — exactness is then restored with no code edit.
+        oob_cap_scale=1.0,
         grad_clip_norm=None,      # optional global-norm gradient clip
         # single-bf16-plane moments backward (threaded statically through
         # the model into the kernel's bwd_lo argument): ~3e-3 relative
@@ -114,6 +120,12 @@ def detection_config():
     cfg.det_k = 16
     cfg.ar_nn_k = 5
     cfg.det_loss_weight = 0.2
+    # strict-parity fidelity toggle: reproduce the reference's
+    # hardest-negative slot-index gather bug (`core/losses.py:94-98`)
+    # instead of the corrected keypoint-id -> cloud-point-id mapping
+    # (losses/losses.py, PARITY.md "detection loss hardest-negative
+    # gather") — for A/B runs against a faithful reproduction.
+    cfg.reproduce_ref_detloss_bug = False
     return cfg
 
 

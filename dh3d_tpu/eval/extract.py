@@ -21,14 +21,30 @@ from dh3d_tpu.data.io import write_to_bin
 from dh3d_tpu.eval.nms import nms_keypoint_indices
 
 
-# One jitted apply per live model instance: repeated extract_* calls over
-# the same model (ref set then query set, or a CLI looping over datasets)
-# reuse the traced executable instead of re-jitting an identical program.
+# One jitted apply per model CONFIG: repeated make_forward calls over equal
+# configs (ref set then query set, or a CLI looping over datasets) share one
+# traced executable.  Keyed on the config's sorted item digest — id(model)
+# keys never hit for the default model=None pattern and pin a new executable
+# per call (round-4 advisor finding).  Bounded: oldest entry evicted at 8.
 _APPLY_CACHE: dict = {}
+_APPLY_CACHE_MAX = 8
+
+
+def _cfg_digest(cfg):
+    return tuple(sorted(
+        (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+        for k, v in dict(cfg).items()
+    ))
 
 
 def make_forward(cfg, variables, model=None):
-    """Jitted inference forward: points [B, N, 3] -> outs dict."""
+    """Jitted inference forward: points [B, N, 3] -> outs dict.
+
+    The returned outs carry `oob_overflow` = TOTAL out-of-band plan drops
+    across every neighborhood level (the "diagnostics" collection sown in
+    nn/model.py + nn/backbones.py) — extract_local/extract_global hard-fail
+    on nonzero, so an 'exact' Morton extraction can never silently degrade.
+    """
     import jax
 
     from dh3d_tpu.nn import DH3D
@@ -41,22 +57,45 @@ def make_forward(cfg, variables, model=None):
     if cfg.morton_presorted:
         cfg.morton_presorted = False
 
+    # caller-constructed models may differ from DH3D(cfg); only the
+    # default pattern is safely shareable by config digest
+    key = ("model", id(model)) if model is not None \
+        else ("cfg", _cfg_digest(cfg))
     model = model or DH3D(cfg)
 
     # `variables` rides as a jit ARGUMENT, not a closure constant — no
     # multi-MB weight constants embedded in the executable.
-    key = id(model)
-    if key not in _APPLY_CACHE or _APPLY_CACHE[key][0] is not model:
+    cached = _APPLY_CACHE.get(key)
+    if cached is None or (key[0] == "model" and cached[0] is not model):
+        import jax.numpy as jnp
+
         @jax.jit
         def _fwd(variables, points, knn_inds=None):
-            return model.apply(variables, points, knn_inds=knn_inds,
-                               train=False)
+            outs, mutated = model.apply(
+                variables, points, knn_inds=knn_inds, train=False,
+                mutable=["diagnostics"])
+            diag = jax.tree_util.tree_leaves(
+                mutated.get("diagnostics", {}))
+            outs["oob_overflow"] = sum(
+                (jnp.sum(x) for x in diag), jnp.zeros((), jnp.int32))
+            return outs
 
+        while len(_APPLY_CACHE) >= _APPLY_CACHE_MAX:
+            _APPLY_CACHE.pop(next(iter(_APPLY_CACHE)))
         _APPLY_CACHE[key] = (model, _fwd)  # model ref keeps id() stable
     _fwd = _APPLY_CACHE[key][1]
 
     def fwd(points, knn_inds=None):
-        return _fwd(variables, points, knn_inds)
+        outs = _fwd(variables, points, knn_inds)
+        oob = int(outs["oob_overflow"])
+        if oob:
+            raise RuntimeError(
+                f"oob_overflow={oob} during extraction: exact-Morton plan "
+                "capacity exceeded — neighbor contributions dropped. "
+                "Raise cfg.oob_cap_scale (multiplies every level's "
+                "plan capacity; banded_pallas.py:oob_plan) for this data."
+            )
+        return outs
 
     return fwd
 

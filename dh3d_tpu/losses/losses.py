@@ -90,7 +90,8 @@ def desc_local_loss(outs, pos_r=0.5, search_r=20.0, margin=0.8,
 
 
 def local_detection_loss_nn(outs, ar_th=0.3, det_k=16, ar_nn_k=5, pos_r=0.3,
-                            use_hardest_neg=True, **unused):
+                            use_hardest_neg=True,
+                            reproduce_ref_detloss_bug=False, **unused):
     """Unsupervised keypoint detector loss (`core/losses.py:65-133`).
 
     For each anchor keypoint: take the det_k-neighborhood of its
@@ -144,9 +145,16 @@ def local_detection_loss_nn(outs, ar_th=0.3, det_k=16, ar_nn_k=5, pos_r=0.3,
         # bug.  We map keypoint id -> cloud point id via sample_ind1 first,
         # so the gathered neighborhood is actually the hardest negative's.
         # See PARITY.md "detection loss hardest-negative gather".
-        hardest_kp = jnp.take_along_axis(
-            sample_ind1, hardest, axis=1
-        )  # keypoint id -> cloud point id
+        # `reproduce_ref_detloss_bug=True` (cfg flag) switches to a faithful
+        # reproduction of the reference gather — the det_k-neighborhood of
+        # cloud point id == the keypoint SLOT index — for strict-parity
+        # fidelity A/B runs without code edits.
+        if reproduce_ref_detloss_bug:
+            hardest_kp = hardest  # slot index used as a cloud point id
+        else:
+            hardest_kp = jnp.take_along_axis(
+                sample_ind1, hardest, axis=1
+            )  # keypoint id -> cloud point id
         xyz_neg1 = jnp.take_along_axis(xyz1, hardest_kp[..., None], axis=1)
         knn_neg1, _ = ops.knn_bruteforce_pairwise(xyz_neg1, xyz1, det_k)
         knn_sampled1 = jnp.concatenate([knn_sampled1, knn_neg1], axis=-1)
@@ -370,6 +378,7 @@ def compute_total_loss(outs, cfg, params_l2=0.0):
         dl, aux = DETECTION_LOSSES[cfg.detection_loss](
             outs, ar_th=cfg.ar_th, det_k=cfg.det_k, ar_nn_k=cfg.ar_nn_k,
             pos_r=cfg.pos_r,
+            reproduce_ref_detloss_bug=bool(cfg.reproduce_ref_detloss_bug),
         )
         dl = dl * _default(cfg.det_loss_weight, 1.0)
         metrics["det_loss_weighted"] = dl

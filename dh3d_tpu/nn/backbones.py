@@ -42,6 +42,7 @@ class FlexConvDilate(nn.Module):
     method: str = "gather"
     inband_knn: bool = False  # caller-provided knn is Morton-banded
     exact_plan: bool = False  # exact kNN + slot-compacted oob correction
+    oob_cap_scale: float = 1.0  # oob-plan capacity multiplier (cfg knob)
     fast_grads: bool = False
     return_cache: bool = False  # also return this level's geometry cache
 
@@ -115,7 +116,14 @@ class FlexConvDilate(nn.Module):
                 if not full_table and jax.default_backend() == "tpu":
                     from dh3d_tpu.ops.pallas.banded_pallas import oob_plan
 
-                    knn_plan = oob_plan(knn_indices, npoint, 256, 512)
+                    knn_plan = oob_plan(knn_indices, npoint, 256, 512,
+                                        scale=self.oob_cap_scale)
+                    # exactness invariant: plan drops (capacity/window
+                    # overflow) silently omit neighbor contributions —
+                    # surfaced to the trainer/eval drivers, which fail on
+                    # nonzero (train/trainer.py check_oob_overflow)
+                    self.sow("diagnostics", "oob_overflow",
+                             knn_plan.overflow)
             else:
                 knn_indices, _ = ops.knn_bruteforce(
                     points_s, self.knn, mode="fast",
@@ -173,7 +181,12 @@ class FlexConvDilate(nn.Module):
                             oob_plan,
                         )
 
-                        interp_plan = oob_plan(idx, npoint, 256, iwin)
+                        interp_plan = oob_plan(
+                            idx, npoint, 256, iwin,
+                            scale=self.oob_cap_scale)
+                        # same invariant as the stage knn plan above
+                        self.sow("diagnostics", "oob_overflow",
+                                 interp_plan.overflow)
                 else:
                     # full-table exact_plan levels: three_nn with the
                     # whole table as the window IS exact 3-NN
@@ -214,6 +227,7 @@ class BackboneLocalDilate(nn.Module):
     method: str = "gather"
     inband_knn: bool = False  # knn_ind came from the Morton-banded knn
     exact_plan: bool = False  # exact kNN + slot-compacted oob correction
+    oob_cap_scale: float = 1.0  # oob-plan capacity multiplier (cfg knob)
     fast_grads: bool = False
     return_cache: bool = False  # also return stage2's level-geometry cache
 
@@ -241,6 +255,7 @@ class BackboneLocalDilate(nn.Module):
             add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
             dtype=dt, method=self.method, inband_knn=self.inband_knn,
             exact_plan=self.exact_plan, fast_grads=self.fast_grads,
+            oob_cap_scale=self.oob_cap_scale,
             name="stage1",
         )(points, init_f, knn_indices=nn_8, knn_plan=knn_plan)
 
@@ -251,6 +266,7 @@ class BackboneLocalDilate(nn.Module):
             dilate=self.dilate2, knn=8, outdims=(128, 128), concat=True,
             add_se="max_pool", use_running_average=ura, bn_axis_name=axn,
             dtype=dt, method=self.method, exact_plan=self.exact_plan,
+            oob_cap_scale=self.oob_cap_scale,
             fast_grads=self.fast_grads, return_cache=self.return_cache,
             name="stage2",
         )(points, x2)
@@ -331,6 +347,7 @@ class GlobalBeforeAssemble(nn.Module):
     dtype: Optional[object] = None
     method: str = "gather"
     exact_plan: bool = False
+    oob_cap_scale: float = 1.0
     fast_grads: bool = False
 
     @nn.compact
@@ -343,6 +360,7 @@ class GlobalBeforeAssemble(nn.Module):
             use_running_average=self.use_running_average,
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
             method=self.method, exact_plan=self.exact_plan,
+            oob_cap_scale=self.oob_cap_scale,
             fast_grads=self.fast_grads,
             name="global_before_assemble",
         )(points, localdesc, level_cache=level_cache)

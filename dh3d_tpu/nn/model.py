@@ -120,7 +120,8 @@ class DH3D(nn.Module):
             from dh3d_tpu.ops.pallas.banded_pallas import oob_plan
 
             knn_plan = oob_plan(knn_inds[..., :8], points.shape[1],
-                                256, 512)
+                                256, 512,
+                                scale=float(cfg.oob_cap_scale or 1.0))
 
         def unpermute(x):
             """Sorted space -> original point order (eval only)."""
@@ -132,9 +133,14 @@ class DH3D(nn.Module):
         outs = {"xyz": unpermute(points), "knn_indices": knn_inds}
         if knn_plan is not None:
             # monitored exactness invariant: entries dropped by the plan's
-            # static capacity (zero on real Morton-sorted clouds); the
-            # trainer/eval drivers assert this stays 0
+            # static capacity (zero on real Morton-sorted clouds).  This
+            # level-0 count plus every stage/interp plan's (sown into the
+            # "diagnostics" collection here and in nn/backbones.py) are
+            # summed by the trainer into metrics['oob_overflow'] and by
+            # eval extract into outs['oob_overflow']; both FAIL on nonzero
+            # (train/trainer.py check_oob_overflow, eval/extract.py).
             outs["oob_overflow"] = knn_plan.overflow
+            self.sow("diagnostics", "oob_overflow", knn_plan.overflow)
 
         # ---- local backbone (`core/model.py:99-108,176`)
         # points stay f32: all geometry (knn/FPS/three_nn/deltas) needs full
@@ -165,6 +171,7 @@ class DH3D(nn.Module):
             method=method,
             inband_knn=inband_knn,
             exact_plan=morton_exact,
+            oob_cap_scale=float(cfg.oob_cap_scale or 1.0),
             fast_grads=bool(cfg.fast_grads),
             return_cache=share_level,
             name="local_backbone",
@@ -229,6 +236,7 @@ class DH3D(nn.Module):
                     dtype=dt,
                     method=method,
                     exact_plan=morton_exact,
+                    oob_cap_scale=float(cfg.oob_cap_scale or 1.0),
                     fast_grads=bool(cfg.fast_grads),
                     name="global_backbone",
                 )(newpoints, localdesc, level_cache=level_cache)

@@ -1189,7 +1189,7 @@ def _count_windows(rows, valid, n_rows, tile, cap, we):
     return start.astype(jnp.int32), uncovered.astype(jnp.int32)
 
 
-def oob_plan(nbh, M, tile=256, window=512, cap=None, we=640):
+def oob_plan(nbh, M, tile=256, window=512, cap=None, we=640, scale=1.0):
     """Build the slot-compaction plan for `nbh` [B, N, K] against the
     banded kernels' (tile, window) geometry over M key rows.  Computed
     ONCE per neighborhood level per step and shared by every planned op
@@ -1221,17 +1221,23 @@ def oob_plan(nbh, M, tile=256, window=512, cap=None, we=640):
       >=1.3x the demo-cloud ceiling); per-tile window starts into the
       compact list come from counting, and entries beyond any static
       limit are counted in plan.overflow — monitored, never silent.
+
+    `scale` multiplies both the per-tile window (`we`) and the default
+    global capacity — the one knob to raise for data whose out-of-band
+    population exceeds the demo-cloud-tuned defaults (surfaced by the
+    oob_overflow invariant; exposed as `cfg.oob_cap_scale`).
     """
     B, N, K = nbh.shape
     if N % tile:
         raise ValueError(f"oob_plan: N={N} not divisible by tile={tile}")
     NT = N // tile
     seg = tile * K
+    we = max(_ALIGN, int(we * scale))
     we = -(-we // _ALIGN) * _ALIGN  # window starts must stay 128-aligned
     we = min(we, -(-seg // _ALIGN) * _ALIGN)  # no wider than one segment
     full = NT * we
     if cap is None:
-        cap = max(we, -(-(N * K // 8) // 512) * 512)
+        cap = max(we, -(-int(N * K // 8 * scale) // 512) * 512)
     cap = min(-(-cap // _ALIGN) * _ALIGN, full)
 
     starts = _starts_host(N, M, tile, window)

@@ -196,11 +196,18 @@ def loss_and_updates(params, batch_stats, batch, cfg, model):
         points,
         sample_inds=batch.get("sample_inds"),
         train=True,
-        mutable=["batch_stats"],
+        mutable=["batch_stats", "diagnostics"],
     )
     if "R" in batch:
         outs["R"] = batch["R"]
     total, metrics = compute_total_loss(outs, cfg, kernel_l2(params))
+    # exactness invariant (nn/model.py): total out-of-band plan entries
+    # dropped across every neighborhood level this step — the train loop
+    # fails on nonzero (check_oob_overflow); always present so metrics
+    # keep one jit-stable structure across morton/gather configs.
+    diag = jax.tree_util.tree_leaves(mutated.get("diagnostics", {}))
+    metrics["oob_overflow"] = sum(
+        (jnp.sum(x) for x in diag), jnp.zeros((), jnp.int32))
     return total, (metrics, mutated["batch_stats"])
 
 
@@ -228,6 +235,31 @@ def make_train_step(cfg, model=None, donate=False):
         return new_state, metrics
 
     return train_step
+
+
+def check_oob_overflow(metrics, step=None):
+    """Fail fast when the exact-Morton plans dropped entries this step.
+
+    `metrics['oob_overflow']` (emitted by every train step) counts
+    out-of-band plan entries beyond the static capacity across all
+    neighborhood levels; nonzero means neighbor contributions were
+    silently omitted and the 'exact' default has degraded to approximate
+    (nn/model.py).  Zero on real Morton-sorted clouds — the demo-cloud
+    ceiling is ~3x under the default capacity (oob_plan docstring)."""
+    v = metrics.get("oob_overflow")
+    if v is None:
+        return 0
+    v = int(v)
+    if v:
+        raise RuntimeError(
+            f"oob_overflow={v}"
+            + (f" at step {step}" if step is not None else "")
+            + ": exact-Morton plan capacity exceeded — neighbor "
+            "contributions dropped.  Raise cfg.oob_cap_scale (multiplies "
+            "every level's plan capacity; banded_pallas.py:oob_plan) for "
+            "this data, or presort/inspect the offending clouds."
+        )
+    return v
 
 
 def make_eval_step(cfg, model=None):

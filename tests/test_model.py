@@ -303,3 +303,37 @@ def test_shared_level_cache_parity():
     for k in ("local_desc", "global_desc", "feat"):
         a, b = np.asarray(out_on[k]), np.asarray(out_off[k])
         assert np.array_equal(a, b), f"{k} differs with level cache"
+
+
+def test_init_variables_matches_full_init():
+    """init_variables' cheap small-N gather-graph init must produce a
+    variable tree IDENTICAL in structure, shapes, and dtypes to model.init
+    at full size with Morton routing on — trainer, bench, and the entry
+    point all build variables through it (round-4 advisor gap: the
+    invariant had no test)."""
+    from dh3d_tpu.nn import init_variables
+
+    cfg = tiny(cfglib.get_config("detection_config"))
+    cfg.num_points = 1024  # banded_l0 threshold: morton routing is live
+    cfg.morton_order = True
+    model = DH3D(cfg)
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.randn(2, 1024, 3).astype(np.float32) * 10)
+    inds = jnp.asarray(rng.randint(0, 1024, (2, KP)).astype(np.int32))
+    full = model.init(jax.random.PRNGKey(0), pts, sample_inds=inds,
+                      train=False)
+    cheap = init_variables(cfg, jax.random.PRNGKey(0))
+
+    full_s = jax.tree.map(lambda x: (x.shape, str(x.dtype)), full)
+    cheap_s = jax.tree.map(lambda x: (x.shape, str(x.dtype)), cheap)
+    assert jax.tree_util.tree_structure(full_s) == \
+        jax.tree_util.tree_structure(cheap_s)
+    assert full_s == cheap_s
+    # same seed -> identical parameter VALUES (flax derives per-param RNG
+    # from the module path, not trace order)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(full["params"]),
+            jax.tree_util.tree_leaves_with_path(cheap["params"])):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -603,3 +603,147 @@ def test_oob_plan_overflow_counts(rng):
     plan = jax.jit(lambda n: oob_plan(n, N, 128, 128, cap=256, we=128))(
         jnp.asarray(nbh))
     assert int(np.asarray(plan.overflow)[0]) > 0
+
+
+def test_oob_cap_scale_restores_exactness(rng):
+    """`scale` (cfg.oob_cap_scale) multiplies the per-tile window and the
+    default global capacity: a plan that overflows at defaults stops
+    overflowing at a large enough scale — the documented no-code-edit
+    remedy when check_oob_overflow fires on dense data."""
+    from dh3d_tpu.ops.pallas.banded_pallas import oob_plan
+
+    B, N, K = 1, 512, 8
+    nbh = rng.randint(0, N, (B, N, K)).astype(np.int32)
+    j = jax.jit(lambda n, scale: oob_plan(n, N, 128, 128, scale=scale),
+                static_argnames=("scale",))
+    assert int(np.asarray(j(jnp.asarray(nbh), scale=0.25).overflow)[0]) > 0
+    big = j(jnp.asarray(nbh), scale=8.0)
+    assert int(np.asarray(big.overflow)[0]) == 0
+
+
+def test_moments_planned_exact_and_grads(rng):
+    """flex_moments_banded_planned (the default production path for every
+    FlexConv under exact-Morton) == dense gather oracle, forward and
+    feature-VJP, for arbitrary index distributions — mirrors
+    test_planned_weighted_sum_exact_and_grads (round-4 advisor gap: this
+    custom_vjp had no oracle test)."""
+    from dh3d_tpu.ops.pallas.banded_pallas import (
+        flex_moments_banded_planned, oob_plan)
+
+    B, N, K, C, T, W = 2, 512, 8, 32, 128, 256
+    Cpad = 128  # lane-padded channel count (keep_pad layout, _pad_c)
+    feat = rng.randn(B, N, C).astype(np.float32)
+    pos = (rng.randn(B, N, 3) * 0.5 + 10.0).astype(np.float32)
+    off = (rng.randn(B, N, K) * 40).astype(np.int64)
+    nbh = np.clip(np.arange(N)[None, :, None] + off, 0, N - 1)
+    far = rng.rand(B, N, K) < 0.15
+    nbh = np.where(far, rng.randint(0, N, nbh.shape), nbh).astype(np.int32)
+    pos0 = np.take_along_axis(pos, nbh[:, :, :1], axis=1)
+
+    plan = jax.jit(lambda n: oob_plan(n, N, T, W, cap=1024, we=512))(
+        jnp.asarray(nbh))
+    assert int(np.asarray(plan.overflow).max()) == 0
+
+    # dense oracle: [sum_k f | sum_k dx*f | dy*f | dz*f] p-major
+    f_k = np.stack([feat[b][nbh[b]] for b in range(B)])
+    p_k = np.stack([pos[b][nbh[b]] for b in range(B)])
+    d = p_k - pos0[:, :, None, :]
+    planes = [f_k.sum(2)] + [np.einsum("bnk,bnkc->bnc", d[..., a], f_k)
+                             for a in range(3)]
+
+    args = (jnp.asarray(feat), jnp.asarray(pos), jnp.asarray(pos0),
+            jnp.asarray(nbh), plan)
+    out = np.asarray(jax.jit(
+        lambda x, p, p0, i, pl_: flex_moments_banded_planned(
+            x, p, p0, i, pl_, T, W, 512, False, INTERP))(*args))
+    assert out.shape == (B, N, 4 * Cpad)
+    # bf16-window error class (same budget as test_flex_moments_banded_
+    # fast): scale = mean magnitude over ALL planes
+    scale = np.abs(np.concatenate(planes, axis=-1)).mean() + 1e-9
+    for pi, plane in enumerate(planes):
+        got = out[..., pi * Cpad:pi * Cpad + C]
+        err = np.abs(got - plane)
+        assert err.max() / scale < 3e-2, pi
+        # padded channel lanes must be exactly zero
+        np.testing.assert_array_equal(
+            out[..., pi * Cpad + C:(pi + 1) * Cpad], 0.0)
+
+    # feature-VJP vs dense-path autodiff (cotangent on REAL lanes only:
+    # padded weight rows are zero in production, flex.py keep_pad callers)
+    dm = np.zeros((B, N, 4 * Cpad), np.float32)
+    for pi in range(4):
+        dm[..., pi * Cpad:pi * Cpad + C] = rng.randn(B, N, C)
+
+    def f_planned(x, p, p0, i, pl_, dd):
+        return jnp.vdot(flex_moments_banded_planned(
+            x, p, p0, i, pl_, T, W, 512, False, INTERP), dd)
+
+    def f_dense(x, p, p0, i, dd):
+        fk = jax.vmap(lambda v, ix: v[ix])(x, i)
+        pk = jax.vmap(lambda v, ix: v[ix])(p, i)
+        delta = pk - p0[:, :, None, :]
+        m0 = jnp.sum(fk, axis=2)
+        mp = jnp.einsum("bnkp,bnkc->bnpc", delta, fk,
+                        precision="highest").reshape(B, N, -1)
+        dense = jnp.concatenate([m0, mp], axis=-1)
+        real = jnp.concatenate(
+            [dd[..., pi * Cpad:pi * Cpad + C] for pi in range(4)], axis=-1)
+        return jnp.vdot(dense, real)
+
+    g_p = jax.jit(jax.grad(f_planned))(*args, jnp.asarray(dm))
+    g_d = jax.jit(jax.grad(f_dense))(
+        jnp.asarray(feat), jnp.asarray(pos), jnp.asarray(pos0),
+        jnp.asarray(nbh), jnp.asarray(dm))
+    gscale = np.abs(np.asarray(g_d)).mean() + 1e-9
+    assert np.abs(np.asarray(g_p) - np.asarray(g_d)).max() / gscale < 5e-3
+
+
+def test_knn_packed_self_query_duplicate_points(rng):
+    """packed self-kNN on exact duplicate points: the structural self-pin
+    guarantees the query's own lane lands in the zero-distance bucket
+    (the MXU-identity distance build does not guarantee an exact-0 self
+    distance), where the reference's stable lowest-index tie rule applies
+    — a HIGHER-indexed duplicate therefore gets its lower twin at slot 0
+    and itself at slot 1, exactly like the exact kernel and the CPU
+    reference's stable sort (`knn_bruteforce_kernel.cc:65-68`)."""
+    pos = rng.randn(1, 128, 3).astype(np.float32)
+    pos[0, 64:96] = pos[0, 0:32]  # 32 exact duplicates of rows 0..31
+    idx, d2 = knn_pallas(jnp.asarray(pos), jnp.asarray(pos), 4,
+                         packed=True, self_query=True, interpret=INTERP)
+    idx, d2 = np.asarray(idx), np.asarray(d2)
+    r = np.arange(128)
+    # unique rows: self at slot 0
+    uniq = np.concatenate([r[32:64], r[96:]])
+    np.testing.assert_array_equal(idx[0, uniq, 0], uniq)
+    # duplicate pairs: both rows see (lower twin, higher twin) in slots
+    # 0,1 — zero-distance bucket, lowest index first
+    np.testing.assert_array_equal(idx[0, 0:32, 0], r[0:32])
+    np.testing.assert_array_equal(idx[0, 0:32, 1], r[64:96])
+    np.testing.assert_array_equal(idx[0, 64:96, 0], r[0:32])
+    np.testing.assert_array_equal(idx[0, 64:96, 1], r[64:96])
+    assert (d2[0, 0:32, :2] == 0).all() and (d2[0, 64:96, :2] == 0).all()
+    assert (np.diff(d2, axis=-1) >= 0).all()
+
+
+def test_oob_plan_cap_full_branch(rng):
+    """cap >= NT*we clamps to `full`, taking the two-stage compaction's
+    cap==full branch (rewritten round 4, untested per the advisor) — the
+    planned op must stay exact there."""
+    from dh3d_tpu.ops.pallas.banded_pallas import (
+        banded_weighted_sum_planned, oob_plan)
+
+    B, N, K, C, P, T, W = 1, 256, 8, 16, 4, 128, 128
+    feat = rng.randn(B, N, C).astype(np.float32)
+    nbh = rng.randint(0, N, (B, N, K)).astype(np.int32)  # mostly oob
+    w = rng.randn(B, N, K, P).astype(np.float32)
+
+    plan = jax.jit(lambda n: oob_plan(n, N, T, W, cap=10 ** 9, we=1024))(
+        jnp.asarray(nbh))
+    assert int(np.asarray(plan.overflow).max()) == 0
+
+    out = np.asarray(jax.jit(
+        lambda x, i, ww, pl_: banded_weighted_sum_planned(
+            x, i, ww, pl_, T, W, plan.we, False, INTERP))(
+        jnp.asarray(feat), jnp.asarray(nbh), jnp.asarray(w), plan))
+    ref = _bws_oracle(feat, nbh, w)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)

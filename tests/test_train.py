@@ -372,3 +372,54 @@ def test_multihost_mesh_train_step(rng):
         np.testing.assert_allclose(
             float(m1["total_cost"]), float(m2["total_cost"]), rtol=1e-4
         )
+
+
+def test_oob_overflow_metric_and_check(rng):
+    """Every train step emits the oob_overflow exactness metric (0 when no
+    plan drops / no plans at all), and check_oob_overflow fails loudly on
+    a nonzero count — the invariant nn/model.py documents."""
+    cfg = small_cfg()
+    batch = make_local_batch(rng)
+    state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    step = trainlib.make_train_step(cfg)
+    _, metrics = step(state, batch)
+    assert "oob_overflow" in metrics
+    assert int(metrics["oob_overflow"]) == 0
+    assert trainlib.check_oob_overflow(
+        {k: float(v) for k, v in metrics.items()}) == 0
+    # missing key (non-plan config) is a no-op, nonzero raises
+    assert trainlib.check_oob_overflow({}) == 0
+    with pytest.raises(RuntimeError, match="oob_overflow=7"):
+        trainlib.check_oob_overflow({"oob_overflow": 7.0}, step=3)
+
+
+def test_reproduce_ref_detloss_bug_toggle(rng):
+    """cfg.reproduce_ref_detloss_bug switches the hardest-negative gather
+    to a faithful reproduction of the reference's slot-index bug
+    (`core/losses.py:94-98`) — same loss structure, different candidate
+    neighborhoods, no code edit needed for strict-parity A/Bs."""
+    from dh3d_tpu.losses.losses import local_detection_loss_nn
+
+    cfg = small_cfg("detection_config")
+    batch = make_local_batch(rng)
+    state = trainlib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    from dh3d_tpu.nn import DH3D
+
+    model = DH3D(cfg)
+    outs = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["points"], sample_inds=batch["sample_inds"], train=False)
+    outs["R"] = batch["R"]
+
+    kw = dict(det_k=cfg.det_k, ar_nn_k=cfg.ar_nn_k, pos_r=cfg.pos_r,
+              ar_th=cfg.ar_th)
+    fixed, aux_f = local_detection_loss_nn(
+        outs, reproduce_ref_detloss_bug=False, **kw)
+    buggy, aux_b = local_detection_loss_nn(
+        outs, reproduce_ref_detloss_bug=True, **kw)
+    for v in (fixed, buggy):
+        assert np.isfinite(float(v))
+    # the two gathers select different candidate neighborhoods on random
+    # clouds -> different match ranks (the loss itself can coincide when
+    # AR saturates at an untrained detector score)
+    assert float(aux_f["mean_ar"]) != float(aux_b["mean_ar"])

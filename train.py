@@ -219,6 +219,10 @@ def main():
                 jax.profiler.stop_trace()
             if i % 50 == 0 or i == start + args.steps - 1:
                 m = {k: round(float(v), 5) for k, v in metrics.items()}
+                # exactness invariant: fail loudly if any neighborhood
+                # plan dropped entries (checked at every readback point —
+                # per-step host syncs would serialize the device queue)
+                trainlib.check_oob_overflow(m, step=i)
                 m["step"] = i
                 m["wall_s"] = round(time.time() - t0, 1)
                 print(f"step {i}: {json.dumps(m)}", flush=True)
