@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _knn_kernel_packed(q_ref, qrow_ref, keys_ref, idx_ref, dist_ref, *, k,
+def _knn_kernel_packed(q_ref, keys_ref, idx_ref, dist_ref, *, k,
                        idx_bits, self_query):
     """Fast variant: value and index packed into one int32 key so each
     extraction is a single min-reduction.  Positive-float bits are
@@ -41,81 +41,69 @@ def _knn_kernel_packed(q_ref, qrow_ref, keys_ref, idx_ref, dist_ref, *, k,
     index, like the exact kernel).  Distances come back truncated — use
     where only neighbor INDICES matter (the DH3D graph's knn calls).
 
-    Two speed-of-light refinements over the first version (which built d2
-    with 3 broadcast-FMA VPU passes and extracted with a 3-op
-    compare/select/min per pass):
+    Design notes (chip-measured at [20, 8192] k=8, v5e):
 
-    * d2 comes from the matmul identity |q|^2 - 2 q.k + |k|^2 — the
-      contraction rides the (otherwise idle) MXU, replacing 6 VPU
-      element-ops with 2 (broadcast add + fma).  Both operands are
-      centered on the key tile's centroid first (d2 is translation-
-      invariant): without centering the identity's absolute error is
-      ~ulp(|q|^2), which for world/UTM-frame clouds (|q| ~ 1e2-1e3)
-      exceeds real nearest-neighbor gaps; centered, the error scales
-      with the cloud's local extent like the reference's direct
-      (q-k)^2 build.  The identity still does NOT preserve the exact-0
-      self distance the reference guarantees
-      (`knn_bruteforce_kernel.cc:65-68`), so for self-kNN the query's
-      own lane is pinned structurally: its packed key is forced into
-      the zero-distance bucket, where the lowest-index tie rule puts it
-      at slot 0 (exactly like the VPU kernel on true duplicate points).
-      Negative rounding residue is clamped so float-bit ordering stays
-      valid.
+    * d2 is built with 3 broadcast-FMA VPU passes, exactly like the
+      reference's (q-k)^2 (`knn_bruteforce_kernel.cc:65-68`): the self
+      distance is exactly +0.0, so a self query's packed key is its own
+      lane index and the lowest-index tie rule seats it at slot 0
+      structurally (true duplicates: the lowest-index twin wins, like
+      the reference's stable sort).  The matmul identity
+      |q|^2 - 2 q.k + |k|^2 on the MXU was tried and REVERTED: at the
+      required f32 precision (HIGHEST; the default one-pass bf16 build
+      mis-sorts real neighbor gaps) the 6-pass contraction costs ~8.5 ms
+      MORE than the FMA build, loses the exact-0 self distance (forcing
+      a pin pass), and needs cancellation-avoiding centering.
     * Each extraction pass is ONE subtract + ONE wraparound min: packed
       keys are unique and non-negative, so "strictly greater than the
       previous winner" is equivalent to unsigned wraparound distance
       (key - prev - 1): entries <= prev wrap to the top of the unsigned
       range and can never win.  Mosaic cannot lower unsigned-integer
       reductions, so the min runs in int32 on sign-bit-biased values
-      (x ^ INT32_MIN is the order-isomorphic map uint32 -> int32);
-      two's-complement wrapping makes the subtract itself dtype-
-      agnostic.  prev starts at -1 (unsigned 0xFFFFFFFF), which makes
-      pass 1 the plain minimum with the same code.
+      (x ^ INT32_MIN is the order-isomorphic map uint32 -> int32) — and
+      because INT32_MIN's low bits are zero, the xor IS the wrapping add
+      of INT32_MIN, so the bias folds into the per-row subtrahend:
+      rel_biased = key - c with c = prev + 1 - INT32_MIN kept per row.
+      The [TQ, N]-wide work per pass is exactly one subtract and one
+      min-reduction; all bias bookkeeping (win = min + c,
+      c' = win + 1 - INT32_MIN) runs on [TQ] vectors.  prev starts at
+      -1 (unsigned 0xFFFFFFFF, i.e. c = INT32_MIN), which makes pass 1
+      the plain unsigned minimum with the same code.  vs the round-4
+      3-op compare/select extraction + MXU build: 24.8 -> 11.5 ms.
+
+    `self_query` is accepted for API stability but needs no extra work:
+    the exact-0 self distance makes the slot-0 contract structural.
     """
-    tq = qrow_ref.shape[1]
+    del self_query  # structural under the exact FMA distance build
+    tq = q_ref.shape[2]
     n = keys_ref.shape[2]
 
-    kt = keys_ref[0]  # [3, N]
-    q = qrow_ref[0]  # [TQ, 3]
-    # center on key 0 (not the mean: key padding appends 1e30 sentinel
-    # rows that would poison a mean; any in-cloud point serves — see
-    # docstring, d2 is translation-invariant)
-    c = kt[:, 0]  # [3]
-    kt = kt - c[:, None]
-    q = q - c[None, :]
-    qk = jax.lax.dot_general(
-        q, kt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    q2 = jnp.sum(q * q, axis=1)[:, None]  # [TQ, 1]
-    k2 = jnp.sum(kt * kt, axis=0)[None, :]  # [1, N]
-    d2 = jnp.maximum(q2 + k2 - 2.0 * qk, 0.0)
+    d2 = jnp.zeros((tq, n), jnp.float32)
+    for d in range(3):
+        qcol = q_ref[0, d, :][:, None]  # [TQ, 1]
+        krow = keys_ref[0, d, :][None, :]  # [1, N]
+        diff = qcol - krow
+        d2 = d2 + diff * diff
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
     mask = jnp.int32(~((1 << idx_bits) - 1))
     bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
     keys = jax.lax.bitwise_or(jax.lax.bitwise_and(bits, mask), lanes)
-    if self_query:
-        i = pl.program_id(1)
-        rows = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, n), 0)
-        keys = jnp.where(lanes == rows, lanes, keys)
 
-    sign = jnp.int32(-0x80000000)
-    prev = jnp.full((tq,), jnp.int32(-1))  # unsigned 0xFFFFFFFF
+    # c = prev + 1 - INT32_MIN (wrapping), starting from prev = -1:
+    # each pass's [TQ, N] work is ONE subtract + ONE min (see docstring)
+    bias = jnp.int32(-0x7FFFFFFF)  # 1 - INT32_MIN mod 2^32
+    c = jnp.full((tq,), jnp.int32(-0x80000000))
     idxs, dists = [], []
     for _ in range(k):
-        # unsigned (key - prev - 1), computed with wrapping int32 ops and
-        # minimized through the sign-bit bias (uint32 order == int32 order
-        # after x ^ INT32_MIN); Mosaic has no unsigned reductions
-        rel = jax.lax.bitwise_xor(keys - prev[:, None] - 1, sign)
-        prev = (jax.lax.bitwise_xor(jnp.min(rel, axis=1), sign)
-                + prev + 1)
+        prev = jnp.min(keys - c[:, None], axis=1) + c  # winner, unbiased
         amin = jax.lax.bitwise_and(prev, jnp.int32((1 << idx_bits) - 1))
         val = jax.lax.bitcast_convert_type(
             jax.lax.bitwise_and(prev, mask), jnp.float32
         )
         idxs.append(amin)
         dists.append(val)
+        c = prev + bias
 
     idx_ref[0] = jnp.stack(idxs, axis=1)
     dist_ref[0] = jnp.stack(dists, axis=1)
@@ -184,19 +172,20 @@ def _knn_kernel_banded(q_ref, keys_ref, idx_ref, dist_ref, *, k, W,
         bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
         keys = jax.lax.bitwise_or(jax.lax.bitwise_and(bits, mask), lanes)
         # fused strict-greater extraction (see _knn_kernel_packed): keys
-        # are unique, so no masked copy needs materializing per pass
+        # are unique and non-negative, so each pass is one biased
+        # subtract + one signed min (the unsigned wraparound trick with
+        # the sign-bit bias folded into the per-row subtrahend)
+        bias = jnp.int32(-0x7FFFFFFF)  # 1 - INT32_MIN mod 2^32
+        c = jnp.full((tq,), jnp.int32(-0x80000000))
         idxs, dists = [], []
-        prev = None
         for _ in range(k):
-            cand = keys if prev is None else jnp.where(
-                keys > prev[:, None], keys, jnp.int32(0x7FFFFFFF))
-            mk = jnp.min(cand, axis=1)
+            mk = jnp.min(keys - c[:, None], axis=1) + c
             amin = jax.lax.bitwise_and(mk, jnp.int32((1 << idx_bits) - 1))
             val = jax.lax.bitcast_convert_type(
                 jax.lax.bitwise_and(mk, mask), jnp.float32)
             idxs.append(amin + start)
             dists.append(val)
-            prev = mk
+            c = mk + bias
     else:
         idxs, dists = [], []
         for _ in range(k):
@@ -430,14 +419,11 @@ def _knn_pallas_call(query, keys, k, tile_q, interpret, packed=False,
         kernel = functools.partial(_knn_kernel_packed, k=k,
                                    idx_bits=idx_bits,
                                    self_query=self_query)
-        # row-major query tile rides along as the MXU's LHS operand
         idx, d2 = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 3, tile_q), lambda b, i: (b, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile_q, 3), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 3, N), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -453,7 +439,7 @@ def _knn_pallas_call(query, keys, k, tile_q, interpret, packed=False,
                 jax.ShapeDtypeStruct((B, M, k), jnp.float32),
             ],
             interpret=interpret,
-        )(q_t, query, keys_t)
+        )(q_t, keys_t)
         return idx, d2
 
     kernel = functools.partial(_knn_kernel, k=k)
