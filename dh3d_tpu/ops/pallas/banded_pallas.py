@@ -1515,18 +1515,43 @@ def _max_planned_fwd(features, nbh, plan, tile, window, we, fast,
         fc = jnp.where(plan.valid[..., None], fc, _NEG)
     a0 = jnp.broadcast_to(plan.src[..., None], fc.shape).astype(jnp.int32)
     vmax, amax, head = _seg_head_max(plan.qrow, fc, a0, K)
-    contrib = jnp.where(head[..., None],
-                        jnp.concatenate([vmax,
-                                         amax.astype(jnp.float32),
-                                         jnp.ones_like(vmax[..., :1])],
-                                        axis=-1),
-                        0.0)
-    # f32 delivery: argmax ids up to 2**23 stay exact; one term per row
-    deliv = _slot_deliver(contrib, plan.qrow, plan.win_start, tile, we,
-                          N, False, interpret)
-    corr_v = deliv[..., :C]
-    corr_a = deliv[..., C:2 * C].astype(jnp.int32)
-    has = deliv[..., 2 * C:2 * C + 1] > 0.5
+    if fast and M <= (1 << 16):
+        # One-pass bf16 delivery (chip: the f32 3-pass matmul was the
+        # single biggest exact-path correction cost, 8.8 ms premium at
+        # [20, 8192, 64]).  Every payload channel is EXACTLY
+        # bf16-representable — vmax is already bf16-rounded above, the
+        # argmax id rides as two 8-bit chunks (< 256: integers exact in
+        # bf16), has is 1.0 — and exactly one head slot contributes per
+        # (row, channel), so the bf16xbf16->f32 one-hot matmul is exact
+        # (each product fits f32; no multi-term accumulation).  Lane
+        # width is unchanged: 3C+1 pads to the same 128-multiple as the
+        # old 2C+1 for the model's C in {32, 64}.
+        alo = (amax & 255).astype(jnp.float32)
+        ahi = ((amax >> 8) & 255).astype(jnp.float32)
+        contrib = jnp.where(head[..., None],
+                            jnp.concatenate([vmax, alo, ahi,
+                                             jnp.ones_like(vmax[..., :1])],
+                                            axis=-1),
+                            0.0)
+        deliv = _slot_deliver(contrib, plan.qrow, plan.win_start, tile,
+                              we, N, True, interpret)
+        corr_v = deliv[..., :C]
+        corr_a = (deliv[..., C:2 * C]
+                  + 256.0 * deliv[..., 2 * C:3 * C]).astype(jnp.int32)
+        has = deliv[..., 3 * C:3 * C + 1] > 0.5
+    else:
+        contrib = jnp.where(head[..., None],
+                            jnp.concatenate([vmax,
+                                             amax.astype(jnp.float32),
+                                             jnp.ones_like(vmax[..., :1])],
+                                            axis=-1),
+                            0.0)
+        # f32 delivery: argmax ids up to 2**23 stay exact; one term/row
+        deliv = _slot_deliver(contrib, plan.qrow, plan.win_start, tile,
+                              we, N, False, interpret)
+        corr_v = deliv[..., :C]
+        corr_a = deliv[..., C:2 * C].astype(jnp.int32)
+        has = deliv[..., 2 * C:2 * C + 1] > 0.5
     better = has & (corr_v > val)
     out = jnp.where(better, corr_v, val)
     argout = jnp.where(better, corr_a, arg)

@@ -75,9 +75,9 @@ def main():
 
     for name, xyz, nbh, plan, C, P, W in levels:
         M = xyz.shape[1]
-        NQ = nbh.shape[1]
+        NQ, KL = nbh.shape[1], nbh.shape[2]
         feats = jnp.asarray(rng.randn(B, M, C).astype(np.float32))
-        wts = jnp.asarray(rng.rand(B, NQ, K, P).astype(np.float32))
+        wts = jnp.asarray(rng.rand(B, NQ, KL, P).astype(np.float32))
 
         def approx(s):
             out = bp.banded_weighted_sum(feats + s * 1e-12, nbh, wts,

@@ -592,6 +592,57 @@ def test_planned_max_exact_and_grad(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_planned_max_fast_bf16_id_chunks(rng):
+    """fast=True delivery rides bf16 (argmax id split into 8-bit chunks,
+    every channel exactly representable): values and RECONSTRUCTED ids
+    must still match the dense oracle exactly.  Features are distinct
+    multiples of 4 in [-1024, 1024) — all bf16-exact, so the bf16 window
+    rounding is the identity and no rounding ties can form."""
+    from dh3d_tpu.ops.pallas.banded_pallas import (
+        banded_max_planned, oob_plan)
+
+    B, N, K, C, T, W = 2, 512, 8, 32, 128, 256
+    feat = np.stack([
+        np.stack([rng.permutation(N) * 4.0 - 1024.0 for _ in range(C)],
+                 axis=1)
+        for _ in range(B)
+    ]).astype(np.float32)
+    off = (rng.randn(B, N, K) * 40).astype(np.int64)
+    nbh = np.clip(np.arange(N)[None, :, None] + off, 0, N - 1)
+    far = rng.rand(B, N, K) < 0.15
+    nbh = np.where(far, rng.randint(0, N, nbh.shape), nbh).astype(np.int32)
+    nbh = jnp.asarray(nbh)
+    plan = jax.jit(lambda n: oob_plan(n, N, T, W, cap=1024, we=512))(nbh)
+    assert int(np.asarray(plan.overflow).max()) == 0
+
+    def dense(x, i):
+        f_k = jax.vmap(lambda v, ix: v[ix])(x, i)
+        v = jnp.max(f_k, axis=2)
+        s = jnp.argmax(f_k, axis=2)
+        a = jnp.take_along_axis(
+            i[..., None].astype(jnp.int32),
+            s[:, :, None, :].astype(jnp.int32), axis=2)[:, :, 0, :]
+        return v, a
+
+    args = (jnp.asarray(feat), nbh, plan)
+    ov, oa = jax.jit(lambda x, i, pl_: banded_max_planned(
+        x, i, pl_, T, W, 512, True, INTERP))(*args)
+    rv, ra = jax.jit(dense)(jnp.asarray(feat), nbh)
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ra))
+
+    # bf16-exact cotangents (k * 0.25, |k| < 128): the fast-mode bf16
+    # transpose delivery is then exact and the grad check can be strict
+    dm = (rng.randint(-128, 128, (B, N, C)) * 0.25).astype(np.float32)
+    g_p = jax.jit(jax.grad(lambda x, i, pl_, d: jnp.vdot(
+        banded_max_planned(x, i, pl_, T, W, 512, True, INTERP)[0], d)))(
+            *args, jnp.asarray(dm))
+    g_d = jax.jit(jax.grad(lambda x, i, d: jnp.vdot(dense(x, i)[0], d)))(
+        jnp.asarray(feat), nbh, jnp.asarray(dm))
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_d),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_oob_plan_overflow_counts(rng):
     """Entries beyond the static capacity are counted, not silently
     dropped."""
